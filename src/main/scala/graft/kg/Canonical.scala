@@ -1,0 +1,95 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage 3 — canonicalization: connected components over candidate-entity
+  * edges, via alternating large-star / small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond" — the PAPERS.md "BTS" lineage), as an
+  * iterative DataFrame loop. No GraphX, no RDDs (input_hint); lineage is
+  * truncated with localCheckpoint every iteration, convergence is detected
+  * with a cheap (count, hash-sum) fingerprint instead of a full diff.
+  *
+  * O(log n) rounds; each round is two self-joins on the min-neighbor
+  * aggregate. Hot head-token stars (the skew case) are exactly what
+  * large-star splits.
+  */
+object Canonical {
+
+  /** candidate edges from the dictionary: aliases carrying two entity rows
+    * connect those entities (shared-alias ambiguity, SURVEY.md §7 stage 3).
+    */
+  def edgesFromDict(dict: DataFrame): DataFrame =
+    dict.groupBy("alias")
+      .agg(min("entity_id").as("src"), max("entity_id").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
+
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      .where(col("u") =!= col("v"))
+    val minN = sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    sym.join(minN, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  private def smallStar(edges: DataFrame): DataFrame = {
+    // orient each edge large -> small
+    val dir = edges.select(
+      greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+    val minN = dir.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    dir.join(minN, "u")
+      .select(col("v").as("src"), col("m").as("dst"))
+      .unionAll(minN.select(col("u").as("src"), col("m").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  private def fingerprint(edges: DataFrame): (Long, Long) = {
+    // decimal sum: ANSI mode (Spark 4 default) would overflow a Long sum
+    val row = edges.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("h")).head()
+    (row.getLong(0), row.getDecimal(1).hashCode().toLong)
+  }
+
+  /** edges → (entity_id, canonical_id) mapping covering every node that
+    * appears in an edge (isolated entities stay their own canonical id via
+    * the coalesce at apply time).
+    */
+  def connectedComponents(edges0: DataFrame, maxIter: Int = 20): DataFrame = {
+    var edges = edges0.select("src", "dst").where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var fp = fingerprint(edges)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next
+      fp = nfp
+      i += 1
+    }
+    // star forest: edges point child -> root; roots map to themselves
+    edges.select(col("src").as("entity_id"), col("dst").as("canonical_id"))
+      .unionAll(edges.select(col("dst").as("entity_id"), col("dst").as("canonical_id")))
+      .groupBy("entity_id").agg(min("canonical_id").as("canonical_id"))
+  }
+
+  /** apply the canonical map to linked mentions; map is usually ≪ corpus →
+    * broadcast, but caller can disable for huge KBs.
+    */
+  def canonicalize(linked: DataFrame, canonMap: DataFrame, useBroadcast: Boolean = true): DataFrame = {
+    val m = if (useBroadcast) broadcast(canonMap) else canonMap
+    linked.join(m, Seq("entity_id"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage 2 — entity linking: mentions ⋈ broadcast(alias dictionary).
+  *
+  * Scale design: candidate selection happens on the DICTIONARY side before
+  * the join — the dictionary is pre-aggregated to one row per alias carrying
+  * its best candidate (max_by over (prior, entity_id), deterministic ties).
+  * The big mention table then takes a single BROADCAST hash join and never
+  * shuffles; a window over mention_id (the naive formulation) would shuffle
+  * the full mention stream just to rank 1-2 candidates.
+  */
+object Link {
+
+  /** alias → (best entity, kind, prior) — tiny, evaluated once, broadcast. */
+  def bestCandidates(dict: DataFrame): DataFrame =
+    dict.groupBy("alias").agg(
+      max_by(
+        struct(col("entity_id"), col("kind"), col("prior")),
+        struct(col("prior"), col("entity_id"))).as("best"))
+      .select(col("alias"), col("best.entity_id"), col("best.kind").as("dict_kind"),
+        col("best.prior"))
+
+  /** mentions (stage-1 output) → linked mentions. Inner join: unlinkable
+    * mentions drop out here (NIL in KB terms).
+    */
+  def link(mentions: DataFrame, dict: DataFrame): DataFrame = {
+    val best = bestCandidates(dict)
+    mentions
+      .withColumn("norm_text", lower(col("text")))
+      .join(broadcast(best), col("norm_text") === col("alias"), "inner")
+      .select(
+        mentions("doc_id"), mentions("mention_id"), mentions("kind"),
+        mentions("text"), mentions("media_ref"), mentions("start_tok"),
+        mentions("len"), mentions("order"),
+        col("entity_id"), col("dict_kind"), col("prior"))
+  }
+}

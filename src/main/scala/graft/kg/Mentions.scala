@@ -1,0 +1,98 @@
+package graft.kg
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Stage 1 — mention detection: `Dataset[PyramidDoc].mapPartitions(pyramid
+  * inference)` → `Dataset[Mention]` (SURVEY.md §7 stage 1).
+  *
+  * Scale notes: the only cluster-wide state is one broadcast of (weights,
+  * vocab, codec) — a few MB, fanned out once per executor. The transform is
+  * partition-preserving (zero shuffle); per-task cost is pure fp32 compute,
+  * so throughput scales linearly with cores until the parquet scan saturates.
+  */
+object Mentions {
+  val Kinds: Seq[String] = Seq("DNA", "RNA", "protein", "cell_line", "cell_type")
+  val ModelSeed = 42L
+  /** attach a media span to a mention if one lies within this many
+    * interleaved-sequence positions of the mention's span
+    */
+  val MediaWindow = 5
+
+  /** Corpus word lexicon (M2, `data/dataset.py:70-71`): top-K distinct tokens
+    * by frequency, deterministic tie-break on the token itself. Two-phase
+    * hash agg (partial map-side combine) + TakeOrderedAndProject — no full
+    * sort at scale.
+    */
+  def buildLexicon(docs: Dataset[PyramidDoc], topK: Int = 50000): Array[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode($"spans").as("s"))
+      .where($"s.kind" === "text")
+      .groupBy($"s.text".as("token")).agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token".asc)
+      .limit(topK)
+      .select($"token").as[String]
+      .collect()
+  }
+
+  /** Bundle broadcast to executors. */
+  final case class Model(weights: PyramidWeights, vocab: WordVocab, codec: LabelCodec)
+      extends Serializable
+
+  def buildModel(docs: Dataset[PyramidDoc], cfg: ModelConfig): Model = {
+    val lexicon = buildLexicon(docs)
+    val vocab = new WordVocab(lexicon)
+    Model(PyramidWeights.build(ModelSeed, cfg, vocab.size, Kinds.length), vocab, new LabelCodec(Kinds))
+  }
+
+  def mentionId(docId: String, s: TokSpan): String =
+    "M" + java.lang.Long.toHexString(Rng.streamKey(s"$docId|${s.kind}|${s.startTok}|${s.lenTok}"))
+
+  /** Pure per-document detection (shared with GoldRef's sequential
+    * re-derivation): tokens = text spans in offset order; media attachment =
+    * nearest media span within MediaWindow of the mention's interleaved span.
+    */
+  def detectDoc(doc: PyramidDoc, inf: PyramidInference, codec: LabelCodec): Seq[Mention] = {
+    val textSpans = doc.spans.filter(_.kind == "text").sortBy(_.offset)
+    val tokens = textSpans.map(_.text)
+    if (tokens.isEmpty) return Nil
+    val mediaOffsets = doc.spans.filter(_.kind == "media").map(s => (s.offset, s.media_ref))
+    val spans = inf.detect(tokens, codec)
+    spans.zipWithIndex.map { case (s, order) =>
+      val (value, _, _) = Tok.charSpan(tokens, s.startTok, s.lenTok)
+      // interleaved positions covered by the mention
+      val lo = textSpans(s.startTok).offset
+      val hi = textSpans(math.min(s.startTok + s.lenTok, textSpans.length) - 1).offset
+      val media = mediaOffsets
+        .filter { case (o, _) => o >= lo - MediaWindow && o <= hi + MediaWindow }
+        .sortBy { case (o, r) => (math.max(lo - o, o - hi) max 0, r) }
+        .headOption.map(_._2).getOrElse("")
+      Mention(doc.doc_id, mentionId(doc.doc_id, s), s.kind, value, media, s.startTok, s.lenTok, order)
+    }
+  }
+
+  /** The mapPartitions transform: one PyramidInference per task (scratch
+    * buffers reused across the partition's documents), streaming iterator in,
+    * streaming iterator out.
+    */
+  def detect(docs: Dataset[PyramidDoc], bcModel: Broadcast[Model]): Dataset[Mention] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      val m = bcModel.value
+      val inf = new PyramidInference(m.weights, m.vocab)
+      it.flatMap(doc => detectDoc(doc, inf, m.codec))
+    }
+  }
+
+  /** Convenience: full stage-1 dataframe for SparkEntry.queries. */
+  def mentionsDf(spark: SparkSession, sfDir: String, cfg: ModelConfig = ModelConfig()): DataFrame = {
+    val docs = DocGen.docs(spark, sfDir)
+    val model = buildModel(docs, cfg)
+    val bc = spark.sparkContext.broadcast(model)
+    detect(docs, bc).toDF()
+  }
+}

@@ -1,0 +1,107 @@
+package graft.kg
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.ModelConfig
+
+/** End-to-end distributed-vs-sequential equality at sf0.001 (SURVEY.md §5.4):
+  * the Spark pipeline must reproduce GoldRef's sequential re-derivation
+  * exactly — per-row span-sequence equality for mentions, set equality
+  * (P = R = 1.0) for triples.
+  */
+class KgPipelineSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("kg-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val goldDocs: Seq[PyramidDoc] = {
+    import spark.implicits._
+    // gold path reads the raw parquet once, sequentially assembled
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".cast("long").as[Long], $"text".as[String])
+      .collect().sortBy(_._1)
+      .map { case (id, text) => DocGen.assemble(DocGen.docIdOf(id), text) }
+      .toSeq
+  }
+  private lazy val model: Mentions.Model = {
+    import spark.implicits._
+    Mentions.buildModel(DocGen.docs(spark, sfDir), ModelConfig())
+  }
+
+  test("docs table derivation is deterministic and interleaved") {
+    val docs = DocGen.docs(spark, sfDir).collect()
+    assert(docs.length == goldDocs.length)
+    val byId = docs.map(d => d.doc_id -> d).toMap
+    goldDocs.foreach { g =>
+      val got = byId(g.doc_id)
+      assert(got.spans.toSeq == g.spans.toSeq, s"spans of ${g.doc_id}")
+    }
+    val media = docs.map(_.spans.count(_.kind == "media")).sum
+    assert(media > 0, "no media spans interleaved")
+    docs.foreach { d =>
+      assert(d.spans.map(_.offset).toSeq == d.spans.indices.toSeq, s"offsets of ${d.doc_id}")
+    }
+  }
+
+  test("per-row mention invariant: span-sequence equality (kind, text, media_ref, order)") {
+    val bc = spark.sparkContext.broadcast(model)
+    // different partitioning than the scan default → proves partition invariance
+    val mentions = Mentions.detect(DocGen.docs(spark, sfDir).repartition(7), bc).collect()
+    val gold = GoldRef.mentions(goldDocs, model)
+    val gotByDoc = mentions.groupBy(_.doc_id).view
+      .mapValues(_.sortBy(_.order).map(m => (m.kind, m.text, m.media_ref, m.order)).toSeq).toMap
+    val goldByDoc = gold.groupBy(_.doc_id).view
+      .mapValues(_.sortBy(_.order).map(m => (m.kind, m.text, m.media_ref, m.order)).toSeq).toMap
+    assert(gotByDoc.keySet == goldByDoc.keySet, "doc coverage differs")
+    goldByDoc.foreach { case (doc, seq) =>
+      assert(gotByDoc(doc) == seq, s"span sequence of $doc")
+    }
+    assert(gold.nonEmpty, "gold mention set empty — model bias miscalibrated")
+  }
+
+  test("alias dictionary matches the sequential re-derivation") {
+    val got = AliasDict.build(DocGen.docs(spark, sfDir))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        BigDecimal(r.getDouble(3)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    val gold = GoldRef.dict(goldDocs)
+      .map(r => (r.alias, r.entity_id, r.kind,
+        BigDecimal(r.prior).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+    assert(got.size == gold.size, s"dict size got ${got.size} want ${gold.size}")
+    assert(got == gold)
+  }
+
+  test("triples: pipeline output == sequential gold (P = R = 1.0)") {
+    val got = Triples.pipeline(spark, sfDir, ModelConfig())
+      .collect().map(r => Triple(r.getString(0), r.getString(1), r.getString(2))).toSet
+    val gold = GoldRef.triples(goldDocs, model)
+    val tp = (got intersect gold).size.toDouble
+    val p = if (got.nonEmpty) tp / got.size else 0.0
+    val r = if (gold.nonEmpty) tp / gold.size else 0.0
+    assert(gold.nonEmpty, "gold triple set empty")
+    withClue(s"P=$p R=$r got=${got.size} gold=${gold.size} " +
+      s"onlyGot=${(got -- gold).take(5)} onlyGold=${(gold -- got).take(5)}") {
+      assert(p == 1.0 && r == 1.0)
+    }
+  }
+
+  test("connected components handle skewed star + chain graphs") {
+    import spark.implicits._
+    // hot star: e0000 ↔ e0001..e2000; chain: c00..c19; isolated pair
+    val star = (1 to 2000).map(i => (f"e$i%04d", "e0000"))
+    val chain = (1 until 20).map(i => (f"c$i%02d", f"c${i - 1}%02d"))
+    val pair = Seq(("zz1", "zz0"))
+    val edges = (star ++ chain ++ pair).toDF("src", "dst")
+    val cc = Canonical.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((0 to 2000).forall(i => cc(f"e$i%04d") == "e0000"))
+    assert((0 until 20).forall(i => cc(f"c$i%02d") == "c00"))
+    assert(cc("zz1") == "zz0" && cc("zz0") == "zz0")
+  }
+}
