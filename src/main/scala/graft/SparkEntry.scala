@@ -2,22 +2,23 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.ModelConfig
 import graft.kg._
+import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` maps operator names (SURVEY.md §2 inventory) to DataFrame
-  * builders over the driver test tables in `sfDir`; `oracleSql` mirrors the
-  * SQL-expressible ones for the DuckDB cross-check. Neural / non-relational
-  * stages (kg_*) get rows-only checks and are verified exactly against the
-  * sequential GoldRef re-derivation in `sbt test` instead.
+  * `queries` maps operator names (SURVEY.md §2 inventory + training-data
+  * pipeline ops) to DataFrame builders over the driver test tables in
+  * `sfDir`; `oracleSql` mirrors every SQL-expressible one for the DuckDB
+  * cross-check (identical column names/aliases on both sides). Neural /
+  * non-SQL stages (kg_*, ann, multimodal) get rows-only checks and are
+  * verified against the sequential GoldRef re-derivation in `sbt test`.
   */
 object SparkEntry {
 
-  /** per-(session, sfDir) model cache so each kg_* query doesn't rebuild the
-    * lexicon job
-    */
+  /** per-sfDir model cache so each kg_* query doesn't rebuild the lexicon job */
   private val modelCache = scala.collection.concurrent.TrieMap.empty[String, Mentions.Model]
   private[graft] def model(spark: SparkSession, sfDir: String): Mentions.Model =
     modelCache.getOrElseUpdate(sfDir, Mentions.buildModel(DocGen.docs(spark, sfDir), ModelConfig()))
@@ -28,11 +29,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Triples.pipeline(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = kgQueries ++ relationalQueries ++ opsQueries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    kgQueries ++ relationalQueries ++ opsQueries
 
-  /** KG pipeline stages (non-SQL-expressible: pyramid inference inside
-    * mapPartitions) — rows-only driver checks; exact-equality coverage lives
-    * in KgPipelineSpec.
+  // ------------------------------------------------------------------ KG
+
+  /** KG pipeline stages (pyramid inference inside mapPartitions → not
+    * SQL-expressible) — rows-only driver checks; exact-equality coverage in
+    * KgPipelineSpec (per-row span equality, triples P=R=1.0 vs GoldRef).
     */
   private def kgQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_docs" -> ((s, dir) =>
@@ -54,34 +58,387 @@ object SparkEntry {
     "kg_triples" -> ((s, dir) => Triples.pipeline(s, dir)),
   )
 
-  /** Relational operator surface (scans, joins, aggs, windows, sorts, set
-    * ops) over the TPC-H-ish tables — all DuckDB-oracle-checked.
-    */
+  // ---------------------------------------------------------- relational
+
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> ((s, dir) => {
+    // TPC-H Q1-shaped scan + hash agg (M1/M6 analogue)
+    "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice")).cast("double").as("sum_base_price"),
           avg(col("l_discount")).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+          count(lit(1)).as("count_order"))),
+
+    // fact ⋈ broadcast dim + agg (alias-link join pattern)
+    "q2_join_agg" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
     }),
+
+    // small-dim chain: supplier ⋈ nation ⋈ region (S3 dimension walk)
+    "q3_dim_join" -> ((s, dir) => {
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val reg = s.read.parquet(s"$dir/region.parquet")
+      sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(avg(col("s_acctbal")), 6).as("avg_bal"))
+    }),
+
+    // window functions: lag + running sum per user (S5/S6 sliding context)
+    "q4_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 6)
+            .as("running_value"),
+          row_number().over(w).as("rn"))
+    }),
+
+    // interval containment join (S3 bisect: entity.start within sentence span)
+    "q5_range_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      li.join(o, col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") >= col("o_orderdate")
+          && col("l_shipdate") <= date_add(col("o_orderdate"), 60))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"))
+    }),
+
+    // top-k by aggregate (B3 length-sort / TakeOrdered)
+    "q6_topk" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("revenue").desc, col("l_partkey").asc)
+        .limit(20)),
+
+    // set ops: nations having customers but no suppliers etc. (lexicon unions)
+    "q7_setops" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet").select(col("c_nationkey").as("nk"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet").select(col("s_nationkey").as("nk"))
+      c.distinct().except(sup.distinct())
+        .unionAll(sup.distinct().intersect(c.distinct())
+          .withColumn("nk", col("nk") + 1000)) // tag intersection rows
+    }),
+
+    // M2 token-lexicon build: explode + distinct + freq top-k
+    "q8_lexicon" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(100)),
+
+    // P7 entity-type drop filter over the events stream table
+    "q9_drop_filter" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .where(!col("event_type").isInCollection(Seq("error", "signup")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))),
+
+    // M5 span-set confusion: deterministic pred/gold token sets → full-outer
+    // join → per-kind tp/fp/fn counts
+    "q10_metrics_join" -> ((s, dir) => {
+      val tok = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token")).distinct()
+      val pred = tok.where(conv(substring(md5(concat(col("token"), lit("#pred"))), 1, 6), 16, 10)
+        .cast("long") < 8388608L)
+      val gold = tok.where(conv(substring(md5(concat(col("token"), lit("#gold"))), 1, 6), 16, 10)
+        .cast("long") < 8388608L)
+      pred.withColumn("p", lit(1)).join(
+          gold.withColumn("g", lit(1)), Seq("doc_id", "token"), "full_outer")
+        .agg(
+          sum(when(col("p") === 1 && col("g") === 1, 1).otherwise(0)).cast("long").as("tp"),
+          sum(when(col("p") === 1 && col("g").isNull, 1).otherwise(0)).cast("long").as("fp"),
+          sum(when(col("p").isNull && col("g") === 1, 1).otherwise(0)).cast("long").as("fn"))
+    }),
+
+    // islice-style deterministic limit (S2)
+    "q11_limit" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .orderBy(col("o_orderkey")).limit(50)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))),
+
+    // dropDuplicates (entity set-equality / dedup analogue)
+    "q12_dropdup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("first_event"))),
+
+    // json + date scalar functions over the events props payload
+    "q13_json_date" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .groupBy(col("hour"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))),
+
+    // grouping sets (rollup) — aggregation-surface completeness
+    "q14_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).cast("double").as("sum_price"))),
+
+    // streaming-equivalent batch windowed aggregation (tumbling window)
+    "q15_stream_window" -> ((s, dir) => Streaming.batch(s, dir)),
+
+    // stateful sessionization (gap 30 min) — streaming state analogue
+    "q16_sessions" -> ((s, dir) => Streaming.sessions(s, dir)),
   )
 
-  private def opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  // ---------------------------------------------------- training-data ops
 
-  /** DuckDB-equivalent SQL per oracle-checked query (same column names/order;
-    * every computed column aliased identically on both sides).
-    */
+  private def opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "dedup_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(s, dir)),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "sim_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    "sim_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
+    "text_langid" -> ((s, dir) => TextOps.langId(s, dir)),
+    "text_quality" -> ((s, dir) => TextOps.quality(s, dir)),
+    "text_tokens" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
+    "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
+    "mm_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
+  )
+
+  // -------------------------------------------------------------- oracle
+
+  private val jaccardSql: String =
+    s"""WITH sh0 AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(toks[i+1:i+${Dedup.ShingleLen}], ' ') AS shingle
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(0, len(toks) - ${Dedup.ShingleLen})) AS i)
+       |  WHERE len(toks) >= ${Dedup.ShingleLen}
+       |), hot AS (
+       |  SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) > ${Dedup.MaxShingleDf}
+       |), sh AS (
+       |  SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
         |CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
-        |avg(l_discount) AS avg_disc,
-        |count(*) AS count_order
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |avg(l_discount) AS avg_disc, count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |CAST(sum(o_totalprice) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
+    "q3_dim_join" ->
+      """SELECT r_name, n_name, count(*) AS n_suppliers,
+        |round(avg(s_acctbal), 6) AS avg_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2""".stripMargin,
+    "q4_window" ->
+      """SELECT event_id, user_id, ts, value,
+        |lag(event_type, 1) OVER w AS prev_type,
+        |round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |  AS running_value,
+        |row_number() OVER w AS rn
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q5_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+    "q6_topk" ->
+      """SELECT l_partkey,
+        |round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_partkey ASC LIMIT 20""".stripMargin,
+    "q7_setops" ->
+      """SELECT nk FROM (
+        |  (SELECT DISTINCT c_nationkey AS nk FROM customer
+        |   EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT nk + 1000 FROM
+        |   (SELECT DISTINCT s_nationkey AS nk FROM supplier
+        |    INTERSECT SELECT DISTINCT c_nationkey FROM customer))""".stripMargin,
+    "q8_lexicon" ->
+      """SELECT token, count(*) AS freq FROM (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+    "q9_drop_filter" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events WHERE event_type NOT IN ('error', 'signup') GROUP BY 1""".stripMargin,
+    "q10_metrics_join" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |  FROM documents),
+        |pred AS (SELECT doc_id, token, 1 AS p FROM tok
+        |  WHERE CAST(('0x' || substr(md5(token || '#pred'), 1, 6)) AS BIGINT) < 8388608),
+        |gold AS (SELECT doc_id, token, 1 AS g FROM tok
+        |  WHERE CAST(('0x' || substr(md5(token || '#gold'), 1, 6)) AS BIGINT) < 8388608)
+        |SELECT CAST(sum(CASE WHEN p = 1 AND g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |       CAST(sum(CASE WHEN p = 1 AND g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |       CAST(sum(CASE WHEN p IS NULL AND g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |FROM pred FULL OUTER JOIN gold USING (doc_id, token)""".stripMargin,
+    "q11_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 50""".stripMargin,
+    "q12_dropdup" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q13_json_date" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        |CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q14_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |CAST(sum(o_totalprice) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q15_stream_window" ->
+      """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
+        |count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q16_sessions" ->
+      """WITH gapped AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM gapped)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  round(sum(value), 6) AS sum_value
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_jaccard" -> (jaccardSql +
+      """, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+        |FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+        |WHERE round(i / (na.n + nb.n - i), 6) >= """.stripMargin + Dedup.JaccardThreshold),
+    "dedup_minhash_sig" -> (jaccardSql +
+      """SELECT doc_id,
+        |  min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+        |  min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+        |  min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+        |  min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+        |FROM sh GROUP BY 1""".stripMargin),
+    "dedup_minhash_lsh" -> (jaccardSql +
+      """, sig AS (
+        |  SELECT doc_id,
+        |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+        |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+        |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+        |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+        |  FROM sh GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig UNION ALL
+        |  SELECT doc_id, 1, md5(mh2 || mh3) FROM sig UNION ALL
+        |  SELECT doc_id, 2, md5(mh4 || mh5) FROM sig UNION ALL
+        |  SELECT doc_id, 3, md5(mh6 || mh7) FROM sig)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b USING (band, bucket)
+        |WHERE a.doc_id < b.doc_id""".stripMargin),
+    "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" -> (s"WITH sig AS (${simhashSql})" +
+      s""", bands AS (
+         |  SELECT doc_id, simhash, b AS band, (simhash >> (8*b)) & 255 AS byte
+         |  FROM sig, LATERAL (SELECT unnest([0,1,2,3]) AS b))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM bands a JOIN bands b USING (band, byte)
+         |WHERE a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxHamming}""".stripMargin),
+    "sim_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id % ${Similarity.QueryMod} = 0),
+         |scored AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(qe::DOUBLE[], embedding::DOUBLE[]), 6) AS cosine
+         |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= ${Similarity.TopK}""".stripMargin,
+    "text_langid" -> langIdSql,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+        |  round(list_sum(list_transform(regexp_split_to_array(text, '\s+'), t -> len(t)))
+        |    / greatest(len(regexp_split_to_array(text, '\s+')), 1), 6) AS avg_tok_len,
+        |  round((len(text) - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |    / greatest(len(text), 1), 6) AS punct_ratio,
+        |  round(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      t -> list_contains(['the','of','and','to','in','is','a','for','on','with'], t)))
+        |    / greatest(len(regexp_split_to_array(text, '\s+')), 1), 6) AS stopword_ratio,
+        |  round(least(len(regexp_split_to_array(text, '\s+')) / 100.0, 1.0) * 0.4
+        |    + (len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        t -> list_contains(['the','of','and','to','in','is','a','for','on','with'], t)))
+        |       / greatest(len(regexp_split_to_array(text, '\s+')), 1)) * 0.3
+        |    + (1.0 - (len(text) - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |       / greatest(len(text), 1)) * 0.3, 6) AS quality_score
+        |FROM documents""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS ws_tokens,
+         |len(regexp_extract_all(text, '${TextOps.BpeRegex}')) AS bpe_tokens
+         |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint,
+        |CAST(('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15)) AS BIGINT)
+        |  AS fp60
+        |FROM documents""".stripMargin,
   )
+
+  /** 32-bit simhash in DuckDB: same md5-hex-digit construction as
+    * Dedup.simhash, generated programmatically to stay in lockstep.
+    */
+  private lazy val simhashSql: String = {
+    val bits = (0 until Dedup.SimhashBits).map { i =>
+      s"CASE WHEN sum(CASE WHEN substr(h, ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END) > 0 " +
+        s"THEN CAST(1 AS BIGINT) << $i ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT doc_id, $bits AS simhash FROM (
+       |  SELECT doc_id, md5(unnest(regexp_split_to_array(text, '\\s+'))) AS h
+       |  FROM documents) GROUP BY doc_id""".stripMargin
+  }
+
+  private lazy val langIdSql: String = {
+    def ratio(lang: String): String = {
+      val list = TextOps.Stopwords(lang).map(w => s"'$w'").mkString(", ")
+      s"round(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> list_contains([$list], t)))" +
+        s" / greatest(len(regexp_split_to_array(text, '\\s+')), 1), 6)"
+    }
+    s"""SELECT doc_id, lang AS tagged_lang,
+       |  ${ratio("en")} AS score_en, ${ratio("de")} AS score_de,
+       |  ${ratio("fr")} AS score_fr, ${ratio("es")} AS score_es,
+       |  CASE WHEN ${ratio("en")} >= ${ratio("de")} AND ${ratio("en")} >= ${ratio("fr")}
+       |         AND ${ratio("en")} >= ${ratio("es")} THEN 'en'
+       |       WHEN ${ratio("de")} >= ${ratio("fr")} AND ${ratio("de")} >= ${ratio("es")} THEN 'de'
+       |       WHEN ${ratio("fr")} >= ${ratio("es")} THEN 'fr'
+       |       ELSE 'es' END AS pred_lang
+       |FROM documents""".stripMargin
+  }
 }

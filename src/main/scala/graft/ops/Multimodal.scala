@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kg.DocGen
+
+/** Multimodal column plumbing: media content as opaque `binary` payloads with
+  * typed metadata, processed in batch inside `mapPartitions` (the Scala
+  * analogue of mapInPandas batches).
+  *
+  * The DECODE STEP IS A STUB — image/audio codecs are not in this container
+  * (see builder brief): `decodeStub` derives deterministic fake
+  * width/height/frame/feature values from the payload bytes. Everything
+  * around it — schema, binary column handling, partition batching, feature
+  * array shape — is the real plumbing a codec would drop into.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: String, media_ref: String, caption: String,
+                            offset: Int, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: String, media_ref: String, width: Int,
+                                 height: Int, n_frames: Int, feature: Array[Float])
+
+  /** media spans → (doc, ref, caption, offset, payload). The payload is an
+    * opaque binary stand-in (md5 bytes of the ref) — in production this is
+    * the fetched object.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    DocGen.docs(spark, sfDir).toDF()
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .where(col("s.kind") === "media")
+      .select(col("doc_id"), col("s.media_ref").as("media_ref"),
+        col("s.text").as("caption"), col("s.offset").as("offset"),
+        unhex(md5(col("s.media_ref"))).as("payload"))
+
+  /** STUB decode: deterministic pseudo-metadata + 8-dim feature vector from
+    * payload bytes. Replace body with a real codec (`???` boundary) — the
+    * mapPartitions batch shape stays identical.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    def u(i: Int): Int = payload(i % payload.length) & 0xff
+    val width = 64 + (u(0) << 2)
+    val height = 64 + (u(1) << 2)
+    val frames = 1 + u(2) % 32
+    val feature = Array.tabulate(8)(i => (u(3 + i) - 128) / 128.0f)
+    (width, height, frames, feature)
+  }
+
+  /** feature extraction over binary media columns — batched per partition. */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val (w, h, f, feat) = decodeStub(m.payload)
+        MediaFeatures(m.doc_id, m.media_ref, w, h, f, feat)
+      }
+    }.toDF()
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Fns
+import graft.kg.GoldRef
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * - `cosineTopK`: brute-force exact top-k — the correctness baseline. The
+  *   query set is broadcast; the big side is scanned once, ranked per query.
+  * - `annLsh`: random-hyperplane LSH — the scale path. Signatures are
+  *   computed in one scan (16 codegen'd CosineSimilarity calls against
+  *   broadcast literal hyperplanes), candidates pair only within a band
+  *   bucket, exact cosine re-ranks candidates. At 10^9 vectors the bucket
+  *   join replaces the O(n·q) scan; recall is tunable via bands/bits.
+  *
+  * Cosine is the native Catalyst expression graft.functions.CosineSimilarity
+  * (whole-stage codegen), not a UDF.
+  */
+object Similarity {
+  val TopK = 10
+  val QueryMod = 100 // vec_id % QueryMod == 0 → query vector
+  val LshBits = 16
+  val Dim = 64
+
+  def embDf(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def queries(spark: SparkSession, sfDir: String): DataFrame =
+    embDf(spark, sfDir).where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+
+  /** Exact top-k neighbors per query (cosine rounded to 6dp for
+    * deterministic cross-engine ranking; ties broken by vec_id).
+    */
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embDf(spark, sfDir)
+    val scored = e.crossJoin(broadcast(queries(spark, sfDir)))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Fns.cosine_sim(col("q"), col("embedding")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
+  }
+
+  /** Deterministic ±1 hyperplanes (md5-derived, shared with any oracle). */
+  private[ops] def hyperplane(h: Int): Array[Float] =
+    Array.tabulate(Dim)(d => if (GoldRef.mdFrac(s"hp:$h:$d") < 0.5) 1f else -1f)
+
+  private def signature(emb: Column): Column =
+    (0 until LshBits).map { h =>
+      when(Fns.cosine_sim(emb, typedlit(hyperplane(h))) > 0, shiftleft(lit(1L), h))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: 4 bands × 4 bits (random vectors have weak neighbor
+    * correlation, so narrow bands keep recall usable); exact cosine re-rank
+    * inside the candidate set. Output shape matches cosineTopK.
+    */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embDf(spark, sfDir).withColumn("sig", signature(col("embedding")))
+    val bands = (0 until LshBits / 4).map(k =>
+      e.select(col("vec_id"), col("embedding"), lit(k).as("band"),
+        shiftright(col("sig"), 4 * k).bitwiseAND(lit(15L)).as("bucket")))
+      .reduce(_ unionAll _)
+    val qb = bands.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("band"), col("bucket"))
+    val cand = bands.join(broadcast(qb), Seq("band", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Fns.cosine_sim(col("q"), col("embedding")), 6).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
+  }
+}

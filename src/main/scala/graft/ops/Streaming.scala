@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming surface over the `events` table. The reference has no
+  * streaming semantics (SURVEY.md §2 checklist) — this is the
+  * checkpoint/resume + incremental-ingest design slot: the same windowed
+  * aggregation is defined once and runs identically in batch (DuckDB-oracle
+  * checked) and as a stream (watermark + tumbling window, validated against
+  * the batch result in StreamingSpec).
+  */
+object Streaming {
+
+  /** shared transform: 5-minute tumbling window per event_type. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  def batch(spark: SparkSession, sfDir: String): DataFrame =
+    windowedAgg(spark.read.parquet(s"$sfDir/events.parquet"))
+
+  /** same aggregation through the streaming engine (file source, memory
+    * sink, synchronous drain) — returns the materialized result.
+    */
+  def streamed(spark: SparkSession, sfDir: String, name: String = "stream_out"): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the file stream source requires a DIRECTORY; stage a symlink dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    val link = dir.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    link.toFile.deleteOnExit(); dir.toFile.deleteOnExit()
+    val src = spark.readStream.schema(schema).parquet(dir.toString)
+      // watermarks require TIMESTAMP (LTZ); the parquet column is NTZ.
+      // Session TZ is pinned to UTC so the cast is deterministic.
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = windowedAgg(src.withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** stateful sessionization per user: events within 30 min of each other
+    * belong to one session (flatMapGroupsWithState analogue via window lag —
+    * batch form; demonstrates the session-window op).
+    */
+  def sessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val gapped = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    gapped.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 6).as("sum_value"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Fns
+
+/** Training-data operator tests: custom expression semantics (interpreted ==
+  * codegen), streaming == batch, LSH recall sanity, dedup invariants.
+  */
+class OpsSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("CosineSimilarity: interpreted and codegen paths agree with plain Scala") {
+    import spark.implicits._
+    val rows = Seq(
+      (Array(1f, 2f, 3f), Array(3f, 2f, 1f)),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f)), // zero norm -> 0.0
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(-1f, 2f, -3f, 4f), Array(4f, -3f, 2f, -1f)))
+    val df = rows.toDF("a", "b")
+    def expected(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    // codegen path (wholestage on by default)
+    val got = df.select(Fns.cosine_sim(col("a"), col("b"))).collect().map(_.getDouble(0))
+    // interpreted path
+    val gotInterp = spark.conf.let("spark.sql.codegen.wholeStage", "false") {
+      df.select(Fns.cosine_sim(col("a"), col("b"))).collect().map(_.getDouble(0))
+    }
+    rows.zip(got).zip(gotInterp).foreach { case (((a, b), g), gi) =>
+      assert(math.abs(g - expected(a, b)) < 1e-12)
+      assert(g == gi, "codegen vs interpreted mismatch")
+    }
+  }
+
+  implicit private class ConfLet(conf: org.apache.spark.sql.RuntimeConfig) {
+    def let[T](key: String, value: String)(body: => T): T = {
+      val old = conf.getOption(key)
+      conf.set(key, value)
+      try body finally old match {
+        case Some(v) => conf.set(key, v)
+        case None    => conf.unset(key)
+      }
+    }
+  }
+
+  test("streaming windowed aggregation equals the batch equivalent") {
+    // batch keeps NTZ, stream casts to LTZ (UTC session) — normalize via
+    // date_format so both compare as wall-clock strings
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = norm(Streaming.batch(spark, sfDir))
+    val streamed = norm(Streaming.streamed(spark, sfDir))
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("ANN-LSH results are a subset of brute-force scores with decent recall@10") {
+    val exact = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.nonEmpty)
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    // LSH is approximate; on 500 random-ish vectors expect modest recall
+    assert(recall > 0.05, s"recall@10 = $recall suspiciously low")
+  }
+
+  test("exact dedup groups cover all docs; jaccard pairs are symmetric-free and thresholded") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val groups = Dedup.exact(spark, sfDir)
+    assert(groups.agg(sum(col("n_docs"))).head().getLong(0) == docs)
+    val j = Dedup.ngramJaccard(spark, sfDir).collect()
+    j.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not ordered doc_a < doc_b")
+      assert(r.getDouble(2) >= Dedup.JaccardThreshold)
+    }
+  }
+
+  test("simhash pairs respect the hamming bound; minhash LSH finds jaccard-similar docs") {
+    val sp = Dedup.simhashPairs(spark, sfDir).collect()
+    sp.foreach(r => assert(r.getAs[Number](2).longValue <= Dedup.SimhashMaxHamming))
+    val mh = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // high-jaccard pairs should mostly surface as LSH candidates
+    if (jac.nonEmpty) {
+      val hit = (jac intersect mh).size.toDouble / jac.size
+      assert(hit > 0.3, s"minhash-LSH recall vs jaccard pairs = $hit")
+    }
+  }
+
+  test("media feature extraction is deterministic with the documented stub shape") {
+    val a = Multimodal.mediaFeatures(spark, sfDir).collect()
+    val b = Multimodal.mediaFeatures(spark, sfDir).collect()
+    assert(a.length == b.length && a.nonEmpty)
+    val fa = a.map(r => (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+    val fb = b.map(r => (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+    assert(fa == fb)
+    a.take(20).foreach { r =>
+      assert(r.getInt(2) >= 64 && r.getInt(2) < 64 + 1024) // width
+      assert(r.getSeq[Float](5).length == 8)
+    }
+  }
+}
