@@ -1,24 +1,67 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.ModelConfig
+import graft.kg.{DocGen, Mentions, Triples}
+
+/** Driver benchmark main: runs every SparkEntry query (forced to full
+  * materialization via the noop sink) plus the amplified KG-pipeline
+  * headline, prints ONE JSON line in the driver schema.
+  */
 object Bench {
+
+  def force(df: DataFrame): Long = {
+    df.write.format("noop").mode("overwrite").save()
+    -1L
+  }
+
+  def time[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val amplify = sys.env.getOrElse("GRAFT_AMPLIFY", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time {
+        try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
+      }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // headline: full KG pipeline on the amplified corpus, triples/sec
+    val (kg, kgSec) = time {
+      val docs = DocGen.amplifiedDocs(spark, sfDir, amplify).cache()
+      try {
+        val model = Mentions.buildModel(docs, ModelConfig())
+        val triples = Triples.pipelineFrom(docs, model).cache()
+        val n = triples.count()
+        val toks = docs.toDF().selectExpr("sum(size(filter(spans, s -> s.kind = 'text')))")
+          .head().getLong(0)
+        triples.unpersist()
+        (n, toks, docs.count())
+      } finally docs.unpersist()
+    }
+    val (nTriples, nTokens, nDocs) = kg
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + kgSec
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"kg_docs":$nDocs,""" +
+        s""""kg_tokens":$nTokens,"kg_amplify":$amplify,""" +
+        s""""kg_triples_per_sec":${nTriples / kgSec},"kg_tokens_per_sec":${nTokens / kgSec}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.core.ModelConfig
+import graft.kg.{DocGen, Mentions, Triples}
+
+/** Two-parallelism-level scaling benchmark (BASELINE.md rows 8-9, north_rule):
+  * runs the identical KG-pipeline job on the identical input at local[N] and
+  * local[4N] (sandbox stand-in for N vs 4N executors), reports median-of-3
+  * throughput at each level plus the scaling efficiency
+  * (thr@4N / thr@N) / 4, and writes BENCH/BASELINE.md.
+  *
+  * Usage: runMain graft.ScalingBench [sfDir] [N] [amplify]
+  */
+object ScalingBench {
+
+  final case class Level(cpus: Int, medianSec: Double, triples: Long, tokens: Long,
+                         triplesPerSec: Double, tokensPerSec: Double)
+
+  def runLevel(cpus: Int, sfDir: String, amplify: Int, reps: Int): Level = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val docs = DocGen.amplifiedDocs(spark, sfDir, amplify).cache()
+      docs.count() // materialize input outside the timed region
+      val model = Mentions.buildModel(docs, ModelConfig())
+      val tokens = docs.toDF()
+        .selectExpr("sum(size(filter(spans, s -> s.kind = 'text')))").head().getLong(0)
+      var triples = 0L
+      val times = (0 to reps).map { i => // rep 0 = warm-up, excluded
+        val t0 = System.nanoTime()
+        val t = Triples.pipelineFrom(docs, model)
+        t.write.format("noop").mode("overwrite").save()
+        if (i == 0) triples = Triples.pipelineFrom(docs, model).count()
+        (System.nanoTime() - t0) / 1e9
+      }.drop(1).sorted
+      val median = times(times.length / 2)
+      docs.unpersist()
+      Level(cpus, median, triples, tokens, triples / median, tokens / median)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val n = args.lift(1).map(_.toInt).getOrElse(8)
+    val amplify = args.lift(2).map(_.toInt).getOrElse(16)
+    val reps = 3
+
+    val lo = runLevel(n, sfDir, amplify, reps)
+    val hi = runLevel(4 * n, sfDir, amplify, reps)
+    val efficiency = (hi.triplesPerSec / lo.triplesPerSec) / 4.0
+
+    val json =
+      s"""{"metric":"scaling_efficiency","value":$efficiency,"unit":"ratio",""" +
+        s""""sf":"$sfDir","amplify":$amplify,"docs_tokens":${lo.tokens},""" +
+        s""""triples":${lo.triples},""" +
+        s""""n_cpus":${lo.cpus},"triples_per_sec_N":${lo.triplesPerSec},""" +
+        s""""wall_sec_N":${lo.medianSec},""" +
+        s""""n4_cpus":${hi.cpus},"triples_per_sec_4N":${hi.triplesPerSec},""" +
+        s""""wall_sec_4N":${hi.medianSec}}"""
+    println(json)
+
+    val md =
+      s"""# BENCH/BASELINE — measured results
+         |
+         |KG pipeline (docs → pyramid mentions → link → canonicalize → triples),
+         |identical job + identical input at two parallelism levels
+         |(`local[${lo.cpus}]` vs `local[${hi.cpus}]`, the sandbox stand-in for N vs 4N
+         |executors per the driver instruction). Median of $reps runs, warm-up excluded.
+         |
+         || level | cores | wall (s) | triples/s | tokens/s |
+         ||---|---|---|---|---|
+         || N | ${lo.cpus} | ${f"${lo.medianSec}%.2f"} | ${f"${lo.triplesPerSec}%.0f"} | ${f"${lo.tokensPerSec}%.0f"} |
+         || 4N | ${hi.cpus} | ${f"${hi.medianSec}%.2f"} | ${f"${hi.triplesPerSec}%.0f"} | ${f"${hi.tokensPerSec}%.0f"} |
+         |
+         |- corpus: `$sfDir/documents.parquet` deterministically amplified ×$amplify
+         |  (${lo.tokens} text tokens; ${lo.triples} distinct-triple rows)
+         |- **scaling efficiency = (thr@4N / thr@N) / 4 = ${f"$efficiency%.3f"}**
+         |  (target ≥ 0.8, BASELINE.md row 9)
+         |- JSON: `$json`
+         |""".stripMargin
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+  }
+}

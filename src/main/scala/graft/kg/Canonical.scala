@@ -60,13 +60,21 @@ object Canonical {
     (row.getLong(0), row.getDecimal(1).hashCode().toLong)
   }
 
+  /** Below this many edges the graph fits comfortably on the driver; an
+    * in-memory union-find beats ~6 Spark jobs per star round. The distributed
+    * loop remains the path for KB-scale graphs.
+    */
+  val DriverCcThreshold = 500000L
+
   /** edges → (entity_id, canonical_id) mapping covering every node that
     * appears in an edge (isolated entities stay their own canonical id via
     * the coalesce at apply time).
     */
-  def connectedComponents(edges0: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges0: DataFrame, maxIter: Int = 20,
+                          driverThreshold: Long = DriverCcThreshold): DataFrame = {
     var edges = edges0.select("src", "dst").where(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
+    if (edges.count() <= driverThreshold) return driverUnionFind(edges)
     var fp = fingerprint(edges)
     var i = 0
     var converged = false
@@ -82,6 +90,32 @@ object Canonical {
     edges.select(col("src").as("entity_id"), col("dst").as("canonical_id"))
       .unionAll(edges.select(col("dst").as("entity_id"), col("dst").as("canonical_id")))
       .groupBy("entity_id").agg(min("canonical_id").as("canonical_id"))
+  }
+
+  /** small-graph fast path: collect + union-find with min-root, one job in,
+    * one local DataFrame out. Same output contract as the star loop
+    * (component minimum as canonical id) — KgPipelineSpec pins both paths
+    * against GoldRef's independent union-find.
+    */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.as[(String, String)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    nodes.iterator.map(n => (n, find(n))).toSeq.sortBy(_._1)
+      .toDF("entity_id", "canonical_id")
   }
 
   /** apply the canonical map to linked mentions; map is usually ≪ corpus →

@@ -54,4 +54,22 @@ object DocGen {
       .select($"doc_id".cast("long").as[Long], $"text".as[String])
       .map { case (id, text) => assemble(docIdOf(id), text) }
   }
+
+  /** Deterministically amplified corpus for benchmarking: each base document
+    * is replicated `factor` times under distinct doc_ids (media placement and
+    * downstream hashes differ per replica since they key on doc_id). The
+    * driver's `documents` table tops out at 5k rows, far below the mention
+    * stage's appetite — this synthesizes the benchmark corpus from it with no
+    * external data and no randomness (builder brief: synthesize the
+    * input_hint table deterministically for benchmarks).
+    */
+  def amplifiedDocs(spark: SparkSession, sfDir: String, factor: Int): Dataset[PyramidDoc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".cast("long").as[Long], $"text".as[String])
+      .repartition(spark.sparkContext.defaultParallelism)
+      .flatMap { case (id, text) =>
+        (0 until factor).iterator.map(k => assemble(docIdOf(id * 1000L + k), text))
+      }
+  }
 }

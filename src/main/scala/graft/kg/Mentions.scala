@@ -77,11 +77,18 @@ object Mentions {
   /** The mapPartitions transform: one PyramidInference per task (scratch
     * buffers reused across the partition's documents), streaming iterator in,
     * streaming iterator out.
+    *
+    * The stage is CPU-bound, so parallelism = partition count. A 100 TB scan
+    * has thousands of splits, but a small/compacted input can arrive as ONE
+    * split and would serialize the whole corpus through one core — defend by
+    * widening to the cluster's parallelism when the input is narrower.
     */
   def detect(docs: Dataset[PyramidDoc], bcModel: Broadcast[Model]): Dataset[Mention] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.mapPartitions { it =>
+    val par = spark.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    wide.mapPartitions { it =>
       val m = bcModel.value
       val inf = new PyramidInference(m.weights, m.vocab)
       it.flatMap(doc => detectDoc(doc, inf, m.codec))

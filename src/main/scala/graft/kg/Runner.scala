@@ -1,0 +1,131 @@
+package graft.kg
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.ModelConfig
+
+/** Stage 6 — ops layer (SURVEY.md §7 stage 6): checkpointed, resumable
+  * pipeline execution keyed on doc_id buckets, with per-partition lineage +
+  * metrics, emulating an Iceberg table layout (no Iceberg jar in this image —
+  * SURVEY.md env facts):
+  *
+  *   outDir/docs/bucket=<b>/        bucketed input materialization (pruned scans)
+  *   outDir/dict/, outDir/canon/    dimension state, computed once, reused on resume
+  *   outDir/triples/bucket=<b>/     idempotent per-bucket output (overwrite)
+  *   outDir/manifest/bucket-<b>.json  atomic (tmp+rename) commit record per bucket,
+  *                                    carrying status, counts, wall time, and
+  *                                    per-task lineage rows
+  *
+  * Resume = skip buckets with a committed manifest (the anti-join of the
+  * north_rule); a mid-job kill leaves at most one bucket's parquet dir
+  * without its manifest, which the rerun overwrites idempotently.
+  */
+object KgRunner {
+
+  final case class BucketResult(bucket: Int, nDocs: Long, nMentions: Long,
+                                nTriples: Long, wallMs: Long, lineage: Seq[(Int, Long)])
+  final case class RunReport(processed: Seq[BucketResult], skipped: Seq[Int], totalTriples: Long)
+
+  /** injectable failure for the kill-resume test */
+  final class InjectedKill(bucket: Int) extends RuntimeException(s"injected kill after bucket $bucket")
+
+  def run(spark: SparkSession, sfDir: String, outDir: String, buckets: Int = 8,
+          cfg: ModelConfig = ModelConfig(), failAfter: Option[Int] = None): RunReport = {
+    import spark.implicits._
+    val out = Paths.get(outDir)
+    Files.createDirectories(out.resolve("manifest"))
+
+    // ---- stage 0: bucketed docs materialization (once; partition-pruned reads)
+    val docsDir = out.resolve("docs")
+    if (!Files.exists(docsDir.resolve("_SUCCESS"))) {
+      DocGen.docs(spark, sfDir).toDF()
+        .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(buckets)))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(docsDir.toString)
+    }
+    val allDocs = spark.read.parquet(docsDir.toString)
+
+    // ---- dimension state: model lexicon, dict, canonical map (deterministic;
+    //      persisted so a resume run reuses instead of recomputing)
+    val dictDir = out.resolve("dict")
+    if (!Files.exists(dictDir.resolve("_SUCCESS")))
+      AliasDict.build(allDocs.drop("bucket").as[PyramidDoc])
+        .write.mode(SaveMode.Overwrite).parquet(dictDir.toString)
+    val dict = spark.read.parquet(dictDir.toString)
+
+    val canonDir = out.resolve("canon")
+    if (!Files.exists(canonDir.resolve("_SUCCESS")))
+      Canonical.connectedComponents(Canonical.edgesFromDict(dict))
+        .write.mode(SaveMode.Overwrite).parquet(canonDir.toString)
+    val canonMap = spark.read.parquet(canonDir.toString)
+
+    val model = Mentions.buildModel(allDocs.drop("bucket").as[PyramidDoc], cfg)
+    val bc = spark.sparkContext.broadcast(model)
+
+    // ---- per-bucket processing with manifest commits
+    val done = committedBuckets(out)
+    val processed = scala.collection.mutable.ArrayBuffer.empty[BucketResult]
+    var i = 0
+    (0 until buckets).foreach { b =>
+      if (!done.contains(b)) {
+        failAfter.foreach(k => if (i >= k) throw new InjectedKill(b))
+        val t0 = System.nanoTime()
+        val docsB = spark.read.parquet(s"$docsDir/bucket=$b").as[PyramidDoc]
+        val mentions = Mentions.detect(docsB, bc).toDF().cache()
+        try {
+          val linked = Link.link(mentions, dict)
+          val canon = Canonical.canonicalize(linked, canonMap)
+          val triples = Triples.fromCanonical(canon)
+          triples.write.mode(SaveMode.Overwrite).parquet(s"$outDir/triples/bucket=$b")
+          // per-task lineage: mentions live in the same stage as the pruned
+          // scan, so spark_partition_id() is the real task id of stage 1
+          val lineage = mentions.groupBy(spark_partition_id().as("pid"))
+            .agg(count(lit(1)).as("n")).as[(Int, Long)].collect().toSeq.sortBy(_._1)
+          val nDocs = docsB.count()
+          val nMentions = mentions.count()
+          val nTriples = spark.read.parquet(s"$outDir/triples/bucket=$b").count()
+          val wallMs = (System.nanoTime() - t0) / 1000000
+          commitManifest(out, b, nDocs, nMentions, nTriples, wallMs, lineage)
+          processed += BucketResult(b, nDocs, nMentions, nTriples, wallMs, lineage)
+          i += 1
+        } finally mentions.unpersist()
+      }
+    }
+    val total = spark.read.parquet(s"$outDir/triples").count()
+    RunReport(processed.toSeq, done.toSeq.sorted, total)
+  }
+
+  /** buckets with a committed manifest record */
+  def committedBuckets(out: Path): Set[Int] = {
+    val dir = out.resolve("manifest")
+    if (!Files.exists(dir)) return Set.empty
+    val it = Files.list(dir).iterator()
+    val re = "bucket-(\\d+)\\.json".r
+    var s = Set.empty[Int]
+    while (it.hasNext) {
+      it.next().getFileName.toString match {
+        case re(b) => s += b.toInt
+        case _     => ()
+      }
+    }
+    s
+  }
+
+  /** atomic manifest commit: write tmp file, rename into place */
+  private def commitManifest(out: Path, bucket: Int, nDocs: Long, nMentions: Long,
+                             nTriples: Long, wallMs: Long, lineage: Seq[(Int, Long)]): Unit = {
+    val lineageJson = lineage.map { case (p, n) => s"""{"task":$p,"n_mentions":$n}""" }
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"bucket":$bucket,"status":"done","n_docs":$nDocs,"n_mentions":$nMentions,
+         |"n_triples":$nTriples,"wall_ms":$wallMs,"lineage":$lineageJson}""".stripMargin
+    val tmp = out.resolve("manifest").resolve(s".tmp-bucket-$bucket.json")
+    Files.writeString(tmp, json)
+    Files.move(tmp, out.resolve("manifest").resolve(s"bucket-$bucket.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** global triples view over all committed buckets */
+  def triples(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/triples")
+}

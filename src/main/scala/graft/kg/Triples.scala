@@ -68,17 +68,31 @@ object Triples {
     instanceOf.unionAll(mentionedIn).unionAll(depictedIn).unionAll(coOccurs)
   }
 
-  /** Full pipeline: docs → mentions → link → canonicalize → triples. */
-  def pipeline(spark: SparkSession, sfDir: String,
-               cfg: graft.core.ModelConfig = graft.core.ModelConfig()): DataFrame = {
-    val docs = DocGen.docs(spark, sfDir)
-    val model = Mentions.buildModel(docs, cfg)
+  /** Pipeline over an existing (ideally cached) docs Dataset + prebuilt
+    * model: mentions → link → canonicalize → triples.
+    */
+  def pipelineFrom(docs: org.apache.spark.sql.Dataset[PyramidDoc],
+                   model: Mentions.Model): DataFrame = {
+    val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(model)
     val mentions = Mentions.detect(docs, bc).toDF()
     val dict = AliasDict.build(docs)
     val linked = Link.link(mentions, dict)
     val canonMap = Canonical.connectedComponents(Canonical.edgesFromDict(dict))
+    // fromCanonical fans out into four triple families; without a persist the
+    // pyramid-inference subtree would be recomputed once PER FAMILY (the
+    // exchanges differ, so Catalyst cannot reuse them). At cluster scale this
+    // is the stage boundary you'd materialize to a staging table (KgRunner
+    // does exactly that per bucket).
     val canon = Canonical.canonicalize(linked, canonMap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fromCanonical(canon)
+  }
+
+  /** Full pipeline: docs → mentions → link → canonicalize → triples. */
+  def pipeline(spark: SparkSession, sfDir: String,
+               cfg: graft.core.ModelConfig = graft.core.ModelConfig()): DataFrame = {
+    val docs = DocGen.docs(spark, sfDir)
+    pipelineFrom(docs, Mentions.buildModel(docs, cfg))
   }
 }

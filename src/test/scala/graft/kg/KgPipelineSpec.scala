@@ -91,17 +91,21 @@ class KgPipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("connected components handle skewed star + chain graphs") {
+  test("connected components handle skewed star + chain graphs (both CC paths)") {
     import spark.implicits._
     // hot star: e0000 ↔ e0001..e2000; chain: c00..c19; isolated pair
     val star = (1 to 2000).map(i => (f"e$i%04d", "e0000"))
     val chain = (1 until 20).map(i => (f"c$i%02d", f"c${i - 1}%02d"))
     val pair = Seq(("zz1", "zz0"))
     val edges = (star ++ chain ++ pair).toDF("src", "dst")
-    val cc = Canonical.connectedComponents(edges).collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert((0 to 2000).forall(i => cc(f"e$i%04d") == "e0000"))
-    assert((0 until 20).forall(i => cc(f"c$i%02d") == "c00"))
-    assert(cc("zz1") == "zz0" && cc("zz0") == "zz0")
+    // driverThreshold=0 forces the distributed star loop; default takes the
+    // driver union-find fast path — both must agree
+    for (threshold <- Seq(0L, Canonical.DriverCcThreshold)) {
+      val cc = Canonical.connectedComponents(edges, driverThreshold = threshold).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert((0 to 2000).forall(i => cc(f"e$i%04d") == "e0000"), s"threshold=$threshold")
+      assert((0 until 20).forall(i => cc(f"c$i%02d") == "c00"), s"threshold=$threshold")
+      assert(cc("zz1") == "zz0" && cc("zz0") == "zz0", s"threshold=$threshold")
+    }
   }
 }
