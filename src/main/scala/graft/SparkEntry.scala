@@ -30,7 +30,7 @@ object SparkEntry {
     Triples.pipeline(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    kgQueries ++ relationalQueries ++ opsQueries
+    kgQueries ++ relationalQueries ++ opsQueries ++ sourceQueries ++ evalQueries
 
   // ------------------------------------------------------------------ KG
 
@@ -201,6 +201,74 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------- training-data ops
+
+  // --------------------------------------------------------- sources/eval
+
+  /** Reference-format readers (SURVEY.md §2.1 S1-S7, S9) over deterministic
+    * staged fixtures derived from documents.parquet (ReaderStage). The
+    * json-format ones are DuckDB-verifiable straight off the staged files;
+    * the wrg text format is not SQL-parseable → rows-only + ReadersSpec.
+    */
+  private def stagePath(s: SparkSession, dir: String): String =
+    graft.sources.ReaderStage.stage(s, dir).toString
+
+  private def sourceQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.sources.Readers
+    Map(
+      "src_rasa" -> ((s, dir) =>
+        Readers.rasa(s, s"${stagePath(s, dir)}/rasa.json")
+          .select(col("text"), explode(col("entities")).as("e"))
+          .select(col("text"), col("e.kind").as("kind"), col("e.value").as("value"),
+            col("e.start_c").as("start_c"), col("e.end_c").as("end_c"))),
+      "src_jsonl" -> ((s, dir) =>
+        Readers.jsonl(s, s"${stagePath(s, dir)}/docs.jsonl", dropEntities = Seq("DNA"))
+          .select(col("doc_id"), explode(col("entities")).as("e"))
+          .select(col("doc_id"), col("e.kind").as("kind"), col("e.value").as("value"),
+            col("e.start_c").as("start_c"), col("e.end_c").as("end_c"))),
+      "src_wiki" -> ((s, dir) =>
+        Readers.wikipedia(s, s"${stagePath(s, dir)}/wiki.jsonl")),
+      "src_wrg" -> ((s, dir) =>
+        Readers.wrg(s, s"${stagePath(s, dir)}/wrg").toDF()
+          .select(col("file"), col("idx"), col("text"), explode_outer(col("entities")).as("e"))
+          .select(col("file"), col("idx"), col("text"), col("e.kind").as("kind"),
+            col("e.value").as("value"), col("e.start_c").as("start_c"),
+            col("e.end_c").as("end_c"))),
+      "src_wrg_swin" -> ((s, dir) =>
+        Readers.wrgSentenceWindow(s, s"${stagePath(s, dir)}/wrg", windowSize = 3)
+          .select(col("file"), col("idx"), col("text"),
+            size(col("pre_texts")).as("n_pre"), size(col("post_texts")).as("n_post"),
+            coalesce(try_element_at(col("pre_texts"), lit(-1)), lit("")).as("prev_text"),
+            coalesce(try_element_at(col("post_texts"), lit(1)), lit("")).as("next_text"))),
+      "src_wrg_twin" -> ((s, dir) =>
+        Readers.wrgTokenWindow(s, s"${stagePath(s, dir)}/wrg", windowSize = 16)
+          .select(col("file"), col("idx"), col("text"), col("pre_ctx"), col("post_ctx"))),
+      "src_wordvec" -> ((s, dir) => {
+        val wv = Readers.loadWordVectors(s, s"${stagePath(s, dir)}/glove.csv")
+        import s.implicits._
+        wv.lexicon.toSeq.zipWithIndex.map { case (w, i) =>
+          val v = wv.matrix(i + 1).map(x => math.rint(x.toDouble * 1e6) / 1e6)
+          (w, (i + 1).toLong, v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
+        }.toDF("word", "id", "v0", "v1", "v2", "v3", "v4", "v5", "v6", "v7")
+      }),
+    )
+  }
+
+  /** Evaluation surface (SURVEY.md §2.6 M4-M8/M13, §2.7 E3): distributed
+    * pipeline vs GoldRef on the deterministic eval slice. Neural upstream →
+    * rows-only here; the P=R=1.0 assertion lives in EvalSpec.
+    */
+  private def evalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_span_prf" -> ((s, dir) => Eval.spanPrf(s, dir)),
+    "eval_bioes_prf" -> ((s, dir) => Eval.bioesPrf(s, dir)),
+    "eval_layers" -> ((s, dir) => {
+      val bc = s.sparkContext.broadcast(model(s, dir))
+      Eval.perLayer(Mentions.detect(DocGen.docs(s, dir), bc).toDF(), ModelConfig().maxDepth)
+    }),
+    "eval_nesting" -> ((s, dir) => {
+      val bc = s.sparkContext.broadcast(model(s, dir))
+      Eval.nesting(Mentions.detect(DocGen.docs(s, dir), bc).toDF())
+    }),
+  )
 
   private def opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
@@ -410,7 +478,55 @@ object SparkEntry {
         |CAST(('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15)) AS BIGINT)
         |  AS fp60
         |FROM documents""".stripMargin,
+    // Source readers: DuckDB parses the SAME staged files the Spark readers
+    // consume (the driver's gate always runs at sf0.01; StagePath matches).
+    "src_rasa" ->
+      s"""WITH exs AS (SELECT unnest(rasa_nlu_data.common_examples) AS ex
+         |  FROM read_json('$StagePath/rasa.json')),
+         |ents AS (SELECT ex.text AS text, unnest(ex.entities) AS e FROM exs)
+         |SELECT text, e.entity AS kind, e.value AS value,
+         |  CAST(e.start AS INT) AS start_c, CAST(e."end" AS INT) AS end_c
+         |FROM ents""".stripMargin,
+    "src_jsonl" ->
+      s"""WITH docs AS (SELECT doc_id,
+         |    regexp_replace(text, '[^\\x20-\\x7e\\t\\n\\r\\x0b\\x0c]', '¤', 'g') AS text,
+         |    entities
+         |  FROM read_json('$StagePath/docs.jsonl')),
+         |ents AS (SELECT doc_id, text, unnest(entities) AS e FROM docs)
+         |SELECT doc_id, e.category AS kind,
+         |  substring(text, CAST(e.start AS INT) + 1, CAST(e."end" - e.start AS INT)) AS value,
+         |  CAST(e.start AS INT) AS start_c, CAST(e."end" AS INT) AS end_c
+         |FROM ents WHERE e.category <> 'DNA'""".stripMargin,
+    "src_wiki" ->
+      s"""WITH art AS (SELECT id, text, entities, sentences
+         |  FROM read_json('$StagePath/wiki.jsonl') WHERE id IS NOT NULL),
+         |sent AS (
+         |  SELECT id, text, len(entities) AS n_entities,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY s.start) - 1 AS INT) AS sidx,
+         |    s.start AS s_start, s."end" AS s_end,
+         |    LEAD(s.start, 1, 9223372036854775807)
+         |      OVER (PARTITION BY id ORDER BY s.start) AS next_start
+         |  FROM (SELECT id, text, entities, unnest(sentences) AS s FROM art)),
+         |ent AS (SELECT id AS eid, unnest(entities) AS e FROM art)
+         |SELECT sent.id AS article_id, sidx,
+         |  substring(text, CAST(s_start AS INT) + 1, CAST(s_end - s_start AS INT)) AS sentence_text,
+         |  CAST(s_start AS INT) AS sentence_start, CAST(s_end AS INT) AS sentence_end,
+         |  CAST(COUNT(*) AS INT) AS n_assigned, CAST(n_entities AS INT) AS n_entities
+         |FROM sent JOIN ent ON sent.id = ent.eid
+         |  AND e.start >= s_start AND e.start < next_start
+         |GROUP BY ALL""".stripMargin,
+    "src_wordvec" ->
+      s"""SELECT column0 AS word,
+         |  ROW_NUMBER() OVER (ORDER BY column0) AS id,
+         |  column1 AS v0, column2 AS v1, column3 AS v2, column4 AS v3,
+         |  column5 AS v4, column6 AS v5, column7 AS v6, column8 AS v7
+         |FROM read_csv('$StagePath/glove.csv', header = false)""".stripMargin,
   )
+
+  /** The driver's correctness gate runs at sf0.01 — the staged-reader oracle
+    * SQL embeds that stage dir (oracle strings cannot see sfDir).
+    */
+  private val StagePath = s"${graft.sources.ReaderStage.StageRoot}/sf0.01"
 
   /** 32-bit simhash in DuckDB: same md5-hex-digit construction as
     * Dedup.simhash, generated programmatically to stay in lockstep.

@@ -29,6 +29,30 @@ object Tok {
     out.toArray
   }
 
+  /** A token with its char span (Python split alignment: tokens are the
+    * maximal non-whitespace runs; `end` exclusive).
+    */
+  final case class TokSpan(text: String, start: Int, end: Int)
+
+  /** `tokenize` plus char offsets — the alignment the wrg reader rebuilds
+    * via `str.find(" ")` (`utils/data.py:106-111`), generalized to arbitrary
+    * whitespace.
+    */
+  def tokenizeWithOffsets(text: String): Array[TokSpan] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[TokSpan]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+        out += TokSpan(text.substring(start, i), start, i)
+      }
+    }
+    out.toArray
+  }
+
   /** Token count of the prefix `text[0:charPos)` — the reference's
     * `len(tokenize(text[:entity.start]))` (labels/__init__.py:83).
     */

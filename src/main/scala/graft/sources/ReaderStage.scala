@@ -1,0 +1,215 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Rng, Tok}
+import graft.kg.GoldRef
+
+/** Deterministic staging of the reference's on-disk input formats, derived
+  * from the driver's `documents.parquet` — the readers in [[Readers]] need
+  * real files in the reference's formats (RASA json, entity JSONL, Wikipedia
+  * article JSONL, 4-line `.wrg`, GloVe-style csv: `utils/data.py`,
+  * `genia/utils/load_wv.py`), and the brief forbids external data. Staging is
+  * a pure function of the (doc_id, text) rows, so the DuckDB oracle and the
+  * sequential spec port both reconstruct identical inputs.
+  *
+  * Files land under `target/reader_stage/<basename(sfDir)>/`; writes are
+  * idempotent (same bytes every time) so concurrent query runs are safe.
+  */
+object ReaderStage {
+
+  /** Python `string.printable` minus what stays: chars outside ASCII
+    * 0x20-0x7e and \t\n\r\x0b\f are replaced by the reference's UNK char '¤'
+    * (`utils/data.py:29`).
+    */
+  val NonPrintable = "[^\\x20-\\x7e\\t\\n\\r\\x0b\\f]"
+
+  def sanitize(s: String): String =
+    s.map(c => if ((c >= 0x20 && c <= 0x7e) || "\t\n\r\f".contains(c)) c else '¤')
+
+  /** Deterministic "annotator": selects 1-2-token ngrams as entities by md5
+    * fraction, giving nested/overlapping gold spans like the reference's
+    * GENIA data. Offsets are char offsets into the (sanitized) text under
+    * Python `str.split()` alignment.
+    */
+  final case class Ent(kind: String, value: String, start: Int, end: Int)
+
+  def entities(text: String): Seq[Ent] = {
+    val toks = Tok.tokenizeWithOffsets(text)
+    val out = Seq.newBuilder[Ent]
+    for (len <- 1 to 2; i <- 0 to toks.length - len) {
+      val slice = toks.slice(i, i + len)
+      val key = "ent#" + slice.map(t => GoldRef.lower(t.text)).mkString(" ")
+      if (GoldRef.mdFrac(key) < 0.12) {
+        val start = slice.head.start
+        val end = slice.last.end
+        out += Ent(GoldRef.kindOf(key), text.substring(start, end), start, end)
+      }
+    }
+    out.result()
+  }
+
+  // --------------------------------------------------------- JSON plumbing
+
+  def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  // ------------------------------------------------------------- documents
+
+  /** (doc_id, text) rows of documents.parquet, driver-side, id-sorted. The
+    * staged corpora are small (reader-format fixtures, not the benchmark
+    * path) — the 100 TB story for these formats is the readers themselves,
+    * which scan whatever files exist in parallel.
+    */
+  def baseDocs(spark: SparkSession, sfDir: String): Seq[(Long, String)] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("cast(doc_id as long) doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+  }
+
+  /** Deterministically injects one non-ASCII char so the JSONL sanitize path
+    * (S2) is actually exercised.
+    */
+  def injectUnprintable(id: Long, text: String): String =
+    if (text.isEmpty) text
+    else {
+      val pos = java.lang.Long.remainderUnsigned(Rng.streamKey(s"inj#$id"), text.length).toInt
+      text.updated(pos, 'é')
+    }
+
+  // ------------------------------------------------------------ per format
+
+  def rasaJson(docs: Seq[(Long, String)]): String = {
+    val exs = docs.map { case (id, raw) =>
+      val text = sanitize(raw)
+      val ents = entities(text).map(e =>
+        s"""{"start":${e.start},"end":${e.end},"value":${jstr(e.value)},"entity":${jstr(e.kind)}}""")
+      s"""{"text":${jstr(text)},"intent":${jstr("doc")},"entities":[${ents.mkString(",")}]}"""
+    }
+    s"""{"rasa_nlu_data":{"common_examples":[${exs.mkString(",\n")}]}}"""
+  }
+
+  def docsJsonl(docs: Seq[(Long, String)]): String =
+    docs.map { case (id, raw) =>
+      val dirty = injectUnprintable(id, raw)
+      val clean = sanitize(dirty)
+      val ents = entities(clean).map(e =>
+        s"""{"category":${jstr(e.kind)},"start":${e.start},"end":${e.end}}""")
+      s"""{"doc_id":$id,"text":${jstr(dirty)},"entities":[${ents.mkString(",")}]}"""
+    }.mkString("", "\n", "\n")
+
+  /** Articles of `ArticleDocs` consecutive documents; sentences are the char
+    * ranges of each document's segment (joined by " . ").
+    */
+  val ArticleDocs = 5
+
+  def wikiJsonl(docs: Seq[(Long, String)]): String = {
+    docs.grouped(ArticleDocs).zipWithIndex.map { case (group, aid) =>
+      val parts = group.map { case (_, raw) => sanitize(raw) }
+      val text = parts.mkString(" . ")
+      var off = 0
+      val sents = parts.map { p =>
+        val s = (off, off + p.length)
+        off += p.length + 3
+        s
+      }
+      val ents = parts.zip(sents).flatMap { case (p, (s0, _)) =>
+        entities(p).map(e => e.copy(start = e.start + s0, end = e.end + s0))
+      }
+      val sentJson = sents.map { case (s, e) => s"""{"start":$s,"end":$e}""" }
+      val entJson = ents.map(e =>
+        s"""{"title":${jstr(e.value)},"category":${jstr(e.kind)},"start":${e.start},"end":${e.end}}""")
+      s"""{"id":$aid,"text":${jstr(text)},"entities":[${entJson.mkString(",")}],"sentences":[${sentJson.mkString(",")}]}"""
+    }.mkString("", "\n", "\n")
+  }
+
+  /** wrg (`utils/data.py:98-134`): 4 lines per record — single-space token
+    * line, POS line, tag line `start,end KIND|…` (token-inclusive), blank.
+    * Sharded into `WrgFiles` files (the directory is the unit the window
+    * readers S5/S6 iterate).
+    */
+  val WrgFiles = 4
+
+  def wrgRecords(docs: Seq[(Long, String)]): Seq[(Int, String)] =
+    docs.map { case (id, raw) =>
+      val toks = Tok.tokenize(sanitize(raw))
+      val text = toks.mkString(" ")
+      val offs = Tok.tokenizeWithOffsets(text)
+      val tags = entities(text).flatMap { e =>
+        val s = offs.indexWhere(_.start == e.start)
+        val t = offs.indexWhere(_.end == e.end)
+        if (s >= 0 && t >= s) Some(s"$s,$t ${e.kind}") else None
+      }
+      val pos = toks.map(_ => "X").mkString(" ")
+      ((id % WrgFiles).toInt, s"$text\n$pos\n${tags.mkString("|")}\n")
+    }
+
+  // --------------------------------------------------------------- vectors
+
+  val WvDims = 8
+  val WvWords = 64
+
+  /** GloVe-style csv (S9, `genia/utils/load_wv.py:5-24`): one `word,v0..v7`
+    * line per lexicon word; values are pure functions of (word, dim).
+    */
+  def gloveCsv(docs: Seq[(Long, String)]): String = {
+    val words = docs.iterator.flatMap(d => Tok.tokenize(sanitize(d._2)))
+      .map(GoldRef.lower).filter(_.forall(c => c.isLetterOrDigit))
+      .toSeq.distinct.sorted.take(WvWords)
+    words.map { w =>
+      val vs = (0 until WvDims).map { j =>
+        val u = java.lang.Long.remainderUnsigned(Rng.streamKey(s"wv#$w#$j"), 2000001L)
+        f"${u / 1000000.0 - 1.0}%.6f"
+      }
+      (w +: vs).mkString(",")
+    }.mkString("", "\n", "\n")
+  }
+
+  // ---------------------------------------------------------------- layout
+
+  /** Absolute root so the oracle SQL (which embeds the path) is independent
+    * of the runner's CWD; override with GRAFT_STAGE_ROOT.
+    */
+  val StageRoot: String =
+    sys.env.getOrElse("GRAFT_STAGE_ROOT", "/root/repo/target/reader_stage")
+
+  def stageDir(sfDir: String): Path =
+    Paths.get(StageRoot, Paths.get(sfDir).getFileName.toString)
+
+  private def writeIfChanged(p: Path, content: String): Unit = {
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    if (!Files.exists(p) || !java.util.Arrays.equals(Files.readAllBytes(p), bytes)) {
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Stage every format; returns the stage dir. Idempotent. */
+  def stage(spark: SparkSession, sfDir: String): Path = synchronized {
+    val dir = stageDir(sfDir)
+    Files.createDirectories(dir.resolve("wrg"))
+    val docs = baseDocs(spark, sfDir)
+    writeIfChanged(dir.resolve("rasa.json"), rasaJson(docs))
+    writeIfChanged(dir.resolve("docs.jsonl"), docsJsonl(docs))
+    writeIfChanged(dir.resolve("wiki.jsonl"), wikiJsonl(docs))
+    writeIfChanged(dir.resolve("glove.csv"), gloveCsv(docs))
+    wrgRecords(docs).groupBy(_._1).foreach { case (shard, recs) =>
+      writeIfChanged(dir.resolve(s"wrg/part-$shard.wrg"),
+        recs.map(_._2).mkString("\n") + "\n")
+    }
+    dir
+  }
+}

@@ -1,0 +1,216 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Rng, Tok}
+
+/** Spark-native realizations of the reference's data readers (SURVEY.md
+  * §2.1 S1-S7, S9) — declarative `spark.read` + Catalyst transforms, scaling
+  * with the number of input files/splits instead of the reference's
+  * single-process generator loops.
+  */
+object Readers {
+
+  /** One parsed wrg record (S4, `utils/data.py:98-134`): `file`/`idx` keep
+    * the reference's per-file record order for the window readers.
+    */
+  final case class WrgEntity(kind: String, value: String, start_c: Int, end_c: Int)
+  final case class WrgRecord(file: String, idx: Int, text: String, entities: Array[WrgEntity])
+
+  // ------------------------------------------------------------------- S1
+
+  /** RASA-json reader (`utils/data.py:13-24`): one multiline JSON document →
+    * one row per common_example with its entity structs. `multiLine` json +
+    * explode; no driver-side parsing.
+    */
+  def rasa(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("rasa_nlu_data.common_examples")).as("ex"))
+      .select(
+        col("ex.text").as("text"),
+        expr("transform(ex.entities, e -> struct(e.entity as kind, e.value as value, " +
+          "cast(e.start as int) as start_c, cast(e.end as int) as end_c))").as("entities"))
+
+  // ------------------------------------------------------------------- S2
+
+  /** JSONL reader (`utils/data.py:27-42`): line-delimited json; text chars
+    * outside Python `string.printable` → '¤'; entity value re-sliced from the
+    * SANITIZED text; optional entity-kind drop filter (P7) and head limit.
+    * Everything stays inside Catalyst (`regexp_replace` + array HOFs), so the
+    * sanitize + slice run codegen'd inside the scan stage.
+    *
+    * NOTE `limit` replicates `itertools.islice` only when the file is a
+    * single split (line order == row order); at scale a LocalLimit is "some
+    * n rows", which is the honest distributed semantic.
+    */
+  def jsonl(spark: SparkSession, path: String, limit: Int = -1,
+            dropEntities: Seq[String] = Nil): DataFrame = {
+    val base = spark.read.json(path)
+      .withColumn("text", regexp_replace(col("text"), ReaderStage.NonPrintable, "¤"))
+      .select(col("doc_id"), col("text"),
+        expr("transform(entities, e -> struct(e.category as kind, " +
+          "substring(text, cast(e.start as int) + 1, cast(e.end - e.start as int)) as value, " +
+          "cast(e.start as int) as start_c, cast(e.end as int) as end_c))").as("entities"))
+    val dropped =
+      if (dropEntities.isEmpty) base
+      else base.withColumn("entities",
+        filter(col("entities"), e => !e.getField("kind").isin(dropEntities.map(lit): _*)))
+    if (limit >= 0) dropped.limit(limit) else dropped
+  }
+
+  // ------------------------------------------------------------------- S3
+
+  /** Wikipedia article reader (`utils/data.py:45-95`): per-sentence rows.
+    * The reference assigns each entity to the sentence whose start is the
+    * greatest one ≤ entity.start (`bisect(starts, start) - 1`) and yields one
+    * DataPoint per sentence that received ≥1 entity — carrying the FULL
+    * article entity list (reference behavior at `data.py:95`, reproduced
+    * faithfully: it yields `entities`, not `sentence_entities`).
+    *
+    * Spark shape: sentences get their successor's start via a `lead` window
+    * partitioned by article, entities join back on the article id with a
+    * range predicate — an equi-join on `id` (co-partitioned, no cross
+    * product), not a theta-join over the corpus.
+    */
+  def wikipedia(spark: SparkSession, path: String): DataFrame = {
+    val art = spark.read.json(path)
+      .where(col("id").isNotNull) // reference skips non-article lines (data.py:51)
+    val w = Window.partitionBy("id").orderBy(col("s.start"))
+    val sent = art.select(col("id"), col("text"), size(col("entities")).as("n_entities"),
+        posexplode(expr("array_sort(sentences, (a, b) -> int(a.start - b.start))")).as(Seq("sidx", "s")))
+      .withColumn("next_start", lead(col("s.start"), 1, Long.MaxValue).over(w))
+    val ent = art.select(col("id").as("eid"), explode(col("entities")).as("e"))
+    sent.join(ent, sent("id") === ent("eid") &&
+        ent("e.start") >= sent("s.start") && ent("e.start") < sent("next_start"))
+      .groupBy(col("id"), col("sidx"), col("text"), col("s.start").as("sentence_start"),
+        col("s.end").as("sentence_end"), col("n_entities"))
+      .agg(count(lit(1)).as("n_assigned"))
+      .select(col("id").as("article_id"), col("sidx").cast("int"),
+        expr("substring(text, cast(sentence_start as int) + 1, " +
+          "cast(sentence_end - sentence_start as int))").as("sentence_text"),
+        col("sentence_start").cast("int"), col("sentence_end").cast("int"),
+        col("n_assigned").cast("int"), col("n_entities"))
+  }
+
+  // ------------------------------------------------------------------- S4
+
+  /** Pure 4-line-record parser, a faithful port of `utils/data.py:98-134`:
+    * token offsets via successive `indexOf(' ')`, tags `start,end KIND|…`
+    * with INCLUSIVE token end, value sliced from the text.
+    */
+  def parseWrg(content: String): Array[(String, Array[WrgEntity])] = {
+    val lines = content.split("\n", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[WrgEntity])]
+    var idx = 0
+    while (idx + 2 < lines.length) {
+      val text = lines(idx).trim
+      val tags = lines(idx + 2).trim
+      if (text.nonEmpty) {
+        val offs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var last = 0
+        var o = text.indexOf(' ', last)
+        while (o > -1) {
+          offs += ((last, o)); last = o + 1; o = text.indexOf(' ', last)
+        }
+        offs += ((last, text.length))
+        val ents =
+          if (tags.isEmpty) Array.empty[WrgEntity]
+          else tags.split('|').map { tag =>
+            val Array(span, kind) = tag.split(' ')
+            val Array(s, t) = span.split(',').map(_.toInt)
+            val first = offs(s)._1
+            val lastC = offs(t)._2
+            WrgEntity(kind, text.substring(first, lastC), first, lastC)
+          }
+        out += ((text, ents))
+      }
+      idx += 4
+    }
+    out.toArray
+  }
+
+  /** wrg directory reader: one task per FILE (`wholetext`) — the file is the
+    * reference's unit of record grouping, so this is the natural split-safe
+    * parallelism (a 4-line record must never straddle a split boundary).
+    */
+  def wrg(spark: SparkSession, dir: String): Dataset[WrgRecord] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(dir)
+      .select(input_file_name().as("file"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (f, content) =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        parseWrg(content).iterator.zipWithIndex.map { case ((text, ents), i) =>
+          WrgRecord(name, i, text, ents)
+        }
+      }
+  }
+
+  // -------------------------------------------------------------- S5 / S6
+
+  /** Sentence-window reader (`utils/data.py:137-155`): ±`windowSize`
+    * neighbouring records of the same file as pre/post context. The
+    * reference's mutable ring buffers become one window spec; rows stay
+    * co-partitioned by file.
+    */
+  def wrgSentenceWindow(spark: SparkSession, dir: String, windowSize: Int = 5): DataFrame = {
+    val w = Window.partitionBy("file").orderBy("idx")
+    wrg(spark, dir).toDF()
+      .withColumn("pre_texts", collect_list(col("text"))
+        .over(w.rowsBetween(-windowSize, -1)))
+      .withColumn("post_texts", collect_list(col("text"))
+        .over(w.rowsBetween(1, windowSize)))
+  }
+
+  /** Token-window reader (`utils/data.py:161-180`): the last/next
+    * `windowSize` TOKENS of surrounding records, joined with spaces. Every
+    * record contributes ≥1 token, so a `windowSize`-row window bounds the
+    * token window — flatten + slice does the exact trim.
+    */
+  def wrgTokenWindow(spark: SparkSession, dir: String, windowSize: Int = 64): DataFrame = {
+    val w = Window.partitionBy("file").orderBy("idx")
+    wrg(spark, dir).toDF()
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("pre_all", flatten(collect_list(col("toks"))
+        .over(w.rowsBetween(-windowSize, -1))))
+      .withColumn("post_all", flatten(collect_list(col("toks"))
+        .over(w.rowsBetween(1, windowSize))))
+      .withColumn("pre_ctx", array_join(expr(
+        s"slice(pre_all, greatest(1, size(pre_all) - ${windowSize - 1}), $windowSize)"), " "))
+      .withColumn("post_ctx", array_join(expr(s"slice(post_all, 1, $windowSize)"), " "))
+      .drop("toks", "pre_all", "post_all")
+  }
+
+  // ------------------------------------------------------------------- S9
+
+  /** Word-vector loader (S9, `genia/utils/load_wv.py:5-24` +
+    * `pretrained_embeddings.py:18-50`): csv → (lexicon, weight matrix) with
+    * PAD row 0 = zeros and a deterministic UNK row appended (the reference
+    * appends `randn`; we derive it from the seeded stream so every executor
+    * reconstructs the same matrix). Driver-side load + broadcast — the matrix
+    * is dictionary-sized, never corpus-sized.
+    */
+  final case class WordVectors(lexicon: Array[String], matrix: Array[Array[Float]]) {
+    val index: Map[String, Int] = lexicon.iterator.zipWithIndex.map { case (w, i) => (w, i + 1) }.toMap
+    def unkId: Int = matrix.length - 1
+    def idOf(word: String): Int = index.getOrElse(word, unkId)
+  }
+
+  def loadWordVectors(spark: SparkSession, csvPath: String): WordVectors = {
+    import spark.implicits._
+    val rows = spark.read.text(csvPath).as[String].collect()
+      .filter(_.nonEmpty).map { line =>
+        val parts = line.split(',')
+        (parts(0), parts.drop(1).map(_.toFloat))
+      }
+    val dims = rows.headOption.map(_._2.length).getOrElse(0)
+    val pad = Array.fill(dims)(0f)
+    val unk = Array.tabulate(dims) { j =>
+      val u = java.lang.Long.remainderUnsigned(Rng.streamKey(s"wv#<unk>#$j"), 2000001L)
+      (u / 1000000.0 - 1.0).toFloat
+    }
+    WordVectors(rows.map(_._1), pad +: rows.map(_._2) :+ unk)
+  }
+}

@@ -1,0 +1,215 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tok
+import graft.kg.{Mentions, ModelStore}
+
+/** Readers (S1-S7, S9) vs sequential ports of the reference's generator
+  * loops (`utils/data.py`) over the SAME staged fixtures — plus ModelStore
+  * (S11) round-trip.
+  */
+class ReadersSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("readers-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val stageDir = ReaderStage.stage(spark, sfDir).toString
+  private lazy val baseDocs = ReaderStage.baseDocs(spark, sfDir)
+
+  test("staging is deterministic and idempotent") {
+    val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(stageDir, "rasa.json"))
+    ReaderStage.stage(spark, sfDir)
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(stageDir, "rasa.json"))
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  // ------------------------------------------------------------------- S1
+
+  test("rasa reader recovers exactly the staged examples (S1)") {
+    val got = Readers.rasa(spark, s"$stageDir/rasa.json")
+      .collect()
+      .map(r => (r.getString(0),
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getString(0), e.getString(1), e.getInt(2), e.getInt(3))).toList))
+      .toMap
+    val want = baseDocs.map { case (_, raw) =>
+      val text = ReaderStage.sanitize(raw)
+      text -> ReaderStage.entities(text).map(e => (e.kind, e.value, e.start, e.end)).toList
+    }.toMap
+    assert(got.size == want.size)
+    want.foreach { case (text, ents) =>
+      assert(got(text) == ents, s"entities of <$text>")
+      // reference invariant: value == text[start:end] (utils/data.py:34)
+      ents.foreach { case (_, v, s, e) => assert(text.substring(s, e) == v) }
+    }
+  }
+
+  // ------------------------------------------------------------------- S2
+
+  test("jsonl reader sanitizes non-printables and re-slices values (S2)") {
+    val got = Readers.jsonl(spark, s"$stageDir/docs.jsonl")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(e => (e.getString(0), e.getString(1), e.getInt(2), e.getInt(3))).toList)
+      .toMap
+    var sawUnk = false
+    baseDocs.foreach { case (id, raw) =>
+      val clean = ReaderStage.sanitize(ReaderStage.injectUnprintable(id, raw))
+      sawUnk ||= clean.contains('¤')
+      val want = ReaderStage.entities(clean).map(e => (e.kind, clean.substring(e.start, e.end), e.start, e.end)).toList
+      assert(got(id) == want, s"doc $id")
+    }
+    assert(sawUnk, "fixture must actually exercise the sanitize path")
+  }
+
+  test("jsonl drop filter and limit (S2/P7)") {
+    val all = Readers.jsonl(spark, s"$stageDir/docs.jsonl").collect()
+    val dropped = Readers.jsonl(spark, s"$stageDir/docs.jsonl", dropEntities = Seq("DNA", "RNA"))
+      .collect()
+      .flatMap(_.getSeq[org.apache.spark.sql.Row](2)).map(_.getString(0))
+    assert(!dropped.contains("DNA") && !dropped.contains("RNA"))
+    assert(all.flatMap(_.getSeq[org.apache.spark.sql.Row](2)).map(_.getString(0)).contains("DNA"))
+    assert(Readers.jsonl(spark, s"$stageDir/docs.jsonl", limit = 7).count() == 7)
+  }
+
+  // ------------------------------------------------------------------- S3
+
+  /** Sequential port of `wikipedia_article_data_reader` (utils/data.py:45-95),
+    * including its yield-all-entities behavior.
+    */
+  private def goldWiki(): Seq[(Long, Int, String, Int)] = {
+    val json = ReaderStage.wikiJsonl(baseDocs)
+    json.split('\n').filter(_.nonEmpty).flatMap { line =>
+      // staged lines are flat json we produced ourselves — parse positionally
+      val id = line.split("\"id\":")(1).takeWhile(_ != ',').toLong
+      val group = baseDocs.slice((id * ReaderStage.ArticleDocs).toInt,
+        (id * ReaderStage.ArticleDocs).toInt + ReaderStage.ArticleDocs)
+      val parts = group.map { case (_, raw) => ReaderStage.sanitize(raw) }
+      val text = parts.mkString(" . ")
+      var off = 0
+      val sents = parts.map { p => val s = (off, off + p.length); off += p.length + 3; s }
+      val ents = parts.zip(sents).flatMap { case (p, (s0, _)) =>
+        ReaderStage.entities(p).map(e => (e.start + s0, e.end + s0))
+      }
+      val starts = sents.map(_._1)
+      // bisect_right(starts, e.start) - 1
+      val assign = ents.groupBy(e => starts.lastIndexWhere(_ <= e._1))
+      sents.zipWithIndex.collect {
+        case ((s0, s1), i) if assign.getOrElse(i, Nil).nonEmpty =>
+          (id, i, text.substring(s0, s1), ents.length)
+      }
+    }.toSeq
+  }
+
+  test("wikipedia reader: bisect sentence assignment + all-entities yield (S3)") {
+    val got = Readers.wikipedia(spark, s"$stageDir/wiki.jsonl")
+      .selectExpr("article_id", "sidx", "sentence_text", "n_entities")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSet
+    val want = goldWiki().toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  // ------------------------------------------------------------------- S4
+
+  test("parseWrg ports the 4-line record format exactly (S4)") {
+    val content = "alpha beta gamma\nX X X\n0,1 PER|2,2 LOC\n\nsolo\nX\n\n\n"
+    val recs = Readers.parseWrg(content)
+    assert(recs.length == 2)
+    val (t1, e1) = recs(0)
+    assert(t1 == "alpha beta gamma")
+    assert(e1.toList == List(
+      Readers.WrgEntity("PER", "alpha beta", 0, 10),
+      Readers.WrgEntity("LOC", "gamma", 11, 16)))
+    assert(recs(1)._1 == "solo" && recs(1)._2.isEmpty)
+  }
+
+  test("wrg directory reader matches the staged records (S4)") {
+    val recs = Readers.wrg(spark, s"$stageDir/wrg").collect()
+    val want = ReaderStage.wrgRecords(baseDocs)
+    assert(recs.length == want.length)
+    // per-file order preserved; record text and entity values line up
+    recs.groupBy(_.file).foreach { case (f, rs) =>
+      val shard = f.stripPrefix("part-").stripSuffix(".wrg").toInt
+      val wantTexts = want.filter(_._1 == shard).map(_._2.split('\n')(0))
+      assert(rs.sortBy(_.idx).map(_.text).toSeq == wantTexts.toSeq, s"file $f")
+    }
+    recs.foreach { r =>
+      r.entities.foreach(e => assert(r.text.substring(e.start_c, e.end_c) == e.value))
+    }
+  }
+
+  // -------------------------------------------------------------- S5 / S6
+
+  test("sentence-window reader matches the reference's ring buffers (S5)") {
+    val w = 3
+    val got = Readers.wrgSentenceWindow(spark, s"$stageDir/wrg", w)
+      .selectExpr("file", "idx", "pre_texts", "post_texts").collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getSeq[String](2).toList, r.getSeq[String](3).toList))).toMap
+    // sequential port: pre = last w records, post = next w records, per file
+    Readers.wrg(spark, s"$stageDir/wrg").collect().groupBy(_.file).foreach { case (f, rs) =>
+      val texts = rs.sortBy(_.idx).map(_.text).toList
+      texts.zipWithIndex.foreach { case (_, i) =>
+        val (pre, post) = got((f, i))
+        assert(pre == texts.slice(math.max(0, i - w), i), s"$f#$i pre")
+        assert(post == texts.slice(i + 1, i + 1 + w), s"$f#$i post")
+      }
+    }
+  }
+
+  test("token-window reader: last/next N tokens joined (S6)") {
+    val w = 16
+    val got = Readers.wrgTokenWindow(spark, s"$stageDir/wrg", w)
+      .selectExpr("file", "idx", "pre_ctx", "post_ctx").collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getString(3)))).toMap
+    Readers.wrg(spark, s"$stageDir/wrg").collect().groupBy(_.file).foreach { case (f, rs) =>
+      val toks = rs.sortBy(_.idx).map(_.text.split(' ').toList).toList
+      toks.indices.foreach { i =>
+        val pre = toks.take(i).flatten.takeRight(w).mkString(" ")
+        val post = toks.drop(i + 1).flatten.take(w).mkString(" ")
+        assert(got((f, i)) == ((pre, post)), s"$f#$i")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------- S9
+
+  test("word-vector loader: PAD zeros, deterministic UNK, OOV lookup (S9)") {
+    val wv = Readers.loadWordVectors(spark, s"$stageDir/glove.csv")
+    assert(wv.lexicon.nonEmpty && wv.matrix.length == wv.lexicon.length + 2)
+    assert(wv.matrix(0).forall(_ == 0f), "PAD row must be zeros")
+    assert(wv.matrix.forall(_.length == ReaderStage.WvDims))
+    val wv2 = Readers.loadWordVectors(spark, s"$stageDir/glove.csv")
+    assert(wv.matrix.last.toSeq == wv2.matrix.last.toSeq, "UNK row deterministic")
+    assert(wv.idOf("definitely-not-a-word") == wv.unkId)
+    assert(wv.idOf(wv.lexicon(0)) == 1)
+  }
+
+  // ------------------------------------------------------------------ S11
+
+  test("ModelStore round-trips the model bundle (S11)") {
+    import spark.implicits._
+    val docs = graft.kg.DocGen.docs(spark, sfDir)
+    val model = Mentions.buildModel(docs, graft.core.ModelConfig.tiny)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model")
+    ModelStore.save(dir, model)
+    val back = ModelStore.load(dir)
+    assert(back.vocab.lexicon.toSeq == model.vocab.lexicon.toSeq)
+    assert(back.codec.entities.toSeq == model.codec.entities.toSeq)
+    // same detections on a sample
+    val sample = docs.orderBy("doc_id").limit(10).collect().toSeq
+    val a = graft.kg.GoldRef.mentions(sample, model)
+    val b = graft.kg.GoldRef.mentions(sample, back)
+    assert(a == b)
+  }
+}
