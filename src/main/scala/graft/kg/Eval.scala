@@ -64,9 +64,13 @@ object Eval {
     * never-predicted classes still appear (macro mean is over ALL classes,
     * `metrics.py:228`).
     */
-  def confusion(pred: DataFrame, gold: DataFrame, kinds: Seq[String]): DataFrame = {
-    val spark = pred.sparkSession
+  def confusion(pred0: DataFrame, gold0: DataFrame, kinds: Seq[String]): DataFrame = {
+    val spark = pred0.sparkSession
     import spark.implicits._
+    // each side feeds THREE joins — persist so an expensive upstream (the
+    // pyramid-inference subtree) materializes once, not per join branch
+    val pred = pred0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gold = gold0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cols = pred.columns.toSeq
     val tp = pred.join(gold, cols).groupBy("kind").agg(count(lit(1)).as("tp"))
     val fp = pred.join(gold, cols, "left_anti").groupBy("kind").agg(count(lit(1)).as("fp"))
@@ -114,6 +118,29 @@ object Eval {
     out.toDF("level", "kind", "precision", "recall", "f1")
   }
 
+  /** S10 — report sink (`run_nne_sigmoid.py:144-160`, `metrics.py:14-80`):
+    * the metrics table → a json report + a LaTeX table, the reference's two
+    * reporter formats. Driver-side on the |kinds|+3-row metrics frame.
+    */
+  def report(metricsDf: DataFrame, dir: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    val rows = metricsDf.select("level", "kind", "precision", "recall", "f1").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val json = rows.map { case (lv, k, p, r, f) =>
+      s"""{"level":"$lv","kind":"$k","precision":$p,"recall":$r,"f1":$f}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.write(dir.resolve("report.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val tex = new StringBuilder("\\begin{tabular}{llrrr}\n")
+    tex ++= "level & kind & precision & recall & f1 \\\\\n\\hline\n"
+    rows.foreach { case (lv, k, p, r, f) =>
+      tex ++= f"$lv & ${k.replace("_", "\\_")} & $p%.4f & $r%.4f & $f%.4f \\\\%n"
+    }
+    tex ++= "\\end{tabular}\n"
+    java.nio.file.Files.write(dir.resolve("report.tex"),
+      tex.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** M8: mention counts per pyramid layer — lengths ≤ maxDepth are their own
     * layer, longer spans pool into the remedy bucket
     * (`multi_label_trainer.py:38-44`).
@@ -131,8 +158,11 @@ object Eval {
     * Self-join co-keyed on doc_id — quadratic only within a document.
     */
   def nesting(mentions: DataFrame): DataFrame = {
+    // the self-join reads this twice (and the final left-join a third time) —
+    // persist so mention detection runs once
     val m = mentions.select(col("doc_id"), col("mention_id"), col("start_tok"),
       (col("start_tok") + col("len")).as("end_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = m.as("a")
     val b = m.as("b")
     val pair = a.join(b, col("a.doc_id") === col("b.doc_id") &&

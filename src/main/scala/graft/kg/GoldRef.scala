@@ -13,10 +13,27 @@ import graft.core._
   */
 object GoldRef {
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def bytesToHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      out(2 * i) = HexChars(v >>> 4)
+      out(2 * i + 1) = HexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    d.map(b => f"$b%02x").mkString
+    val d = Md5.get()
+    d.reset()
+    bytesToHex(d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   def mdFrac(s: String): Double =

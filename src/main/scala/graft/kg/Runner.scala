@@ -128,4 +128,19 @@ object KgRunner {
   /** global triples view over all committed buckets */
   def triples(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/triples")
+
+  /** The run's metrics table (north_rule: per-partition lineage + metrics):
+    * one row per committed bucket with its counts, wall time, and the
+    * exploded per-task lineage rows. Reads the same manifests `resume` keys
+    * on, so metrics and commit state can never disagree.
+    */
+  def metrics(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode_outer}
+    spark.read.option("multiLine", "true").json(s"$outDir/manifest/*.json")
+      .select(col("bucket"), col("n_docs"), col("n_mentions"), col("n_triples"),
+        col("wall_ms"), explode_outer(col("lineage")).as("task_lineage"))
+      .select(col("bucket"), col("n_docs"), col("n_mentions"), col("n_triples"),
+        col("wall_ms"), col("task_lineage.task").as("task"),
+        col("task_lineage.n_mentions").as("task_mentions"))
+  }
 }

@@ -197,11 +197,30 @@ object ReaderStage {
     }
   }
 
-  /** Stage every format; returns the stage dir. Idempotent. */
+  /** Corpus signature: cheap relative to the md5-heavy format derivation;
+    * lets a re-stage over unchanged input skip generation entirely (each
+    * src_* query calls stage()).
+    */
+  private def signature(docs: Seq[(Long, String)]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    docs.foreach { case (id, text) =>
+      d.update(java.nio.ByteBuffer.allocate(8).putLong(id).array())
+      d.update(text.getBytes(StandardCharsets.UTF_8))
+    }
+    GoldRef.bytesToHex(d.digest())
+  }
+
+  /** Stage every format; returns the stage dir. Idempotent, and a no-op when
+    * the _STAGED signature matches the current corpus.
+    */
   def stage(spark: SparkSession, sfDir: String): Path = synchronized {
     val dir = stageDir(sfDir)
     Files.createDirectories(dir.resolve("wrg"))
     val docs = baseDocs(spark, sfDir)
+    val sig = signature(docs)
+    val marker = dir.resolve("_STAGED")
+    if (Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == sig) return dir
     writeIfChanged(dir.resolve("rasa.json"), rasaJson(docs))
     writeIfChanged(dir.resolve("docs.jsonl"), docsJsonl(docs))
     writeIfChanged(dir.resolve("wiki.jsonl"), wikiJsonl(docs))
@@ -210,6 +229,7 @@ object ReaderStage {
       writeIfChanged(dir.resolve(s"wrg/part-$shard.wrg"),
         recs.map(_._2).mkString("\n") + "\n")
     }
+    writeIfChanged(marker, sig)
     dir
   }
 }

@@ -198,6 +198,17 @@ object Readers {
     def idOf(word: String): Int = index.getOrElse(word, unkId)
   }
 
+  // ------------------------------------------------------------------- S8
+
+  /** Vocab loader (S8, `run_nne_sigmoid.py:25-30`): newline-delimited word
+    * file → driver list (to broadcast). Blank lines dropped like the
+    * reference's strip+filter.
+    */
+  def loadVocab(spark: SparkSession, path: String): Array[String] = {
+    import spark.implicits._
+    spark.read.text(path).as[String].collect().map(_.trim).filter(_.nonEmpty)
+  }
+
   def loadWordVectors(spark: SparkSession, csvPath: String): WordVectors = {
     import spark.implicits._
     val rows = spark.read.text(csvPath).as[String].collect()

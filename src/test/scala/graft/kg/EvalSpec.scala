@@ -120,6 +120,17 @@ class EvalSpec extends AnyFunSuite {
     assert(m("weighted") == 0.0 && m("micro") == 0.0)
   }
 
+  test("report sink writes json + latex (S10)") {
+    import spark.implicits._
+    val m = Eval.metrics(Seq(("ORG", 3L, 1L, 0L)).toDF("kind", "tp", "fp", "fn"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_report")
+    Eval.report(m, dir)
+    val json = new String(java.nio.file.Files.readAllBytes(dir.resolve("report.json")), "UTF-8")
+    assert(json.contains(""""level":"class"""") && json.contains(""""kind":"ORG""""))
+    val tex = new String(java.nio.file.Files.readAllBytes(dir.resolve("report.tex")), "UTF-8")
+    assert(tex.startsWith("\\begin{tabular}") && tex.contains("micro"))
+  }
+
   // ------------------------------------------------------- layers/nesting
 
   test("perLayer pools lengths beyond maxDepth into remedy (M8)") {

@@ -33,6 +33,13 @@ class KgRunnerSpec extends AnyFunSuite {
       assert(b.nDocs > 0 && b.nTriples > 0 && b.lineage.nonEmpty, s"bucket ${b.bucket}")
       assert(b.lineage.map(_._2).sum == b.nMentions, s"lineage sums for bucket ${b.bucket}")
     }
+    // metrics table view agrees with the in-memory report
+    val m = KgRunner.metrics(spark, out).collect()
+    assert(m.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    val perBucketMentions = m.groupBy(_.getLong(0))
+      .map { case (b, rows) => b -> rows.map(_.getLong(6)).sum }
+    report.processed.foreach(b =>
+      assert(perBucketMentions(b.bucket.toLong) == b.nMentions, s"metrics bucket ${b.bucket}"))
   }
 
   test("mid-job kill + resume: no lost and no duplicated buckets") {

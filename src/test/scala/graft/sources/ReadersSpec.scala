@@ -195,6 +195,15 @@ class ReadersSpec extends AnyFunSuite {
     assert(wv.idOf(wv.lexicon(0)) == 1)
   }
 
+  // ------------------------------------------------------------------- S8
+
+  test("vocab loader strips and drops blank lines (S8)") {
+    val p = java.nio.file.Files.createTempFile("graft_vocab", ".txt")
+    java.nio.file.Files.write(p, "alpha\n beta \n\ngamma\n".getBytes("UTF-8"))
+    val v = Readers.loadVocab(spark, p.toString)
+    assert(v.toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
   // ------------------------------------------------------------------ S11
 
   test("ModelStore round-trips the model bundle (S11)") {
