@@ -47,6 +47,18 @@ object SparkEntry {
       val bc = s.sparkContext.broadcast(model(s, dir))
       Mentions.detect(DocGen.docs(s, dir), bc).toDF()
     }),
+    "kg_mentions_bidir" -> ((s, dir) => {
+      val bc = s.sparkContext.broadcast(model(s, dir))
+      val bv = s.sparkContext.broadcast(
+        graft.core.VariantWeights.build(Mentions.ModelSeed, ModelConfig(), Mentions.Kinds.length))
+      Mentions.detectVariant(DocGen.docs(s, dir), bc, bv, "bidirectional").toDF()
+    }),
+    "kg_mentions_ml" -> ((s, dir) => {
+      val bc = s.sparkContext.broadcast(model(s, dir))
+      val bv = s.sparkContext.broadcast(
+        graft.core.VariantWeights.build(Mentions.ModelSeed, ModelConfig(), Mentions.Kinds.length))
+      Mentions.detectVariant(DocGen.docs(s, dir), bc, bv, "multilabel").toDF()
+    }),
     "kg_dict" -> ((s, dir) => AliasDict.build(DocGen.docs(s, dir))),
     "kg_linked" -> ((s, dir) => {
       val bc = s.sparkContext.broadcast(model(s, dir))

@@ -139,10 +139,12 @@ final class PyramidInference(w: PyramidWeights, vocab: WordVocab) {
     charOut = new Array[Float](charCap * 2 * charH)
   }
 
-  /** Forward pass for one document's tokens. */
-  def forward(tokens: Array[String]): PyramidNetOut = {
+  /** Encoder (steps 1-2): char-BiLSTM ⊕ word-emb → enc BiLSTM → dense; fills
+    * `cur` with S × D features. Shared by the single-label forward and the
+    * variant decoders ([[PyramidVariants]]).
+    */
+  private[core] def encode(tokens: Array[String]): Unit = {
     val S = tokens.length
-    if (S == 0) return PyramidNetOut(IndexedSeq.empty, None)
     ensure(S)
     val inDim = cfg.charDim + cfg.wordDim
     // 1. char-BiLSTM word vectors + word embeddings; x = [char ++ word]
@@ -175,6 +177,14 @@ final class PyramidInference(w: PyramidWeights, vocab: WordVocab) {
       Nn.dense(w.encDenseW, w.encDenseB, 2 * cfg.encHidden, D, encH, t * 2 * cfg.encHidden, cur, t * D)
       t += 1
     }
+  }
+
+  /** Forward pass for one document's tokens. */
+  def forward(tokens: Array[String]): PyramidNetOut = {
+    val S = tokens.length
+    if (S == 0) return PyramidNetOut(IndexedSeq.empty, None)
+    encode(tokens)
+    var t = 0
     // 3. pyramid layers
     val C1 = w.numClasses
     val C = C1 - 1
@@ -220,6 +230,41 @@ final class PyramidInference(w: PyramidWeights, vocab: WordVocab) {
     }
     PyramidNetOut(layerIds.toIndexedSeq, remedy)
   }
+
+  /** Pyramid forward capturing the per-layer hidden states h_l (T_l × D,
+    * T_l = S - l) instead of applying heads — the input the bidirectional
+    * inverse pass and the multi-label / contextual classifiers consume
+    * (`pyramid/__init__.py:59-115` yields exactly these h_l).
+    */
+  def forwardHidden(tokens: Array[String]): IndexedSeq[Array[Float]] = {
+    val S = tokens.length
+    if (S == 0) return IndexedSeq.empty
+    encode(tokens)
+    val layers = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    var T = S
+    var l = 0
+    var continue = true
+    while (l <= cfg.maxDepth && continue) {
+      var t = 0
+      while (t < T) { Nn.layerNorm(w.lnGamma, w.lnBeta, D, cur, t * D, nrm, t * D); t += 1 }
+      w.decLstm.run(nrm, 0, T, dec, 0, hS, cS, gS)
+      layers += java.util.Arrays.copyOfRange(dec, 0, T * D)
+      if (T > 1) {
+        w.conv.run(dec, 0, T, nxt, 0)
+        val tmp = cur; cur = nxt; nxt = tmp
+        T -= 1
+        l += 1
+      } else continue = false
+    }
+    layers.toIndexedSeq
+  }
+
+  private[core] def dim: Int = D
+  private[core] def config: ModelConfig = cfg
+  private[core] def weights: PyramidWeights = w
+  private[core] def scratch: (Array[Float], Array[Float], Array[Float]) = (hS, cS, gS)
+  private[core] def wordVec(token: String, out: Array[Float], off: Int): Unit =
+    System.arraycopy(w.wordEmb, vocab.id(token) * cfg.wordDim, out, off, cfg.wordDim)
 
   /** Full parse for one document: forward + decode + char-offset spans, in the
     * reference's enumeration order (`model.py:153-166`).

@@ -55,12 +55,19 @@ object Mentions {
     * re-derivation): tokens = text spans in offset order; media attachment =
     * nearest media span within MediaWindow of the mention's interleaved span.
     */
-  def detectDoc(doc: PyramidDoc, inf: PyramidInference, codec: LabelCodec): Seq[Mention] = {
+  def detectDoc(doc: PyramidDoc, inf: PyramidInference, codec: LabelCodec): Seq[Mention] =
+    detectDocWith(doc, toks => inf.detect(toks, codec))
+
+  /** Same mention assembly with a pluggable span source — the variant
+    * decoders (bidirectional / multi-label / contextual, SURVEY §2.4
+    * N6/N8/N12/N18) slot in here.
+    */
+  def detectDocWith(doc: PyramidDoc, spansOf: Array[String] => IndexedSeq[TokSpan]): Seq[Mention] = {
     val textSpans = doc.spans.filter(_.kind == "text").sortBy(_.offset)
     val tokens = textSpans.map(_.text)
     if (tokens.isEmpty) return Nil
     val mediaOffsets = doc.spans.filter(_.kind == "media").map(s => (s.offset, s.media_ref))
-    val spans = inf.detect(tokens, codec)
+    val spans = spansOf(tokens)
     spans.zipWithIndex.map { case (s, order) =>
       val (value, _, _) = Tok.charSpan(tokens, s.startTok, s.lenTok)
       // interleaved positions covered by the mention
@@ -92,6 +99,29 @@ object Mentions {
       val m = bcModel.value
       val inf = new PyramidInference(m.weights, m.vocab)
       it.flatMap(doc => detectDoc(doc, inf, m.codec))
+    }
+  }
+
+  /** Variant detection modes (N6 bidirectional single-label, N8/N18 sigmoid
+    * multi-label) as the same zero-shuffle mapPartitions transform; the
+    * variant weight bundle rides the same broadcast pattern.
+    */
+  def detectVariant(docs: Dataset[PyramidDoc], bcModel: Broadcast[Model],
+                    bcVar: Broadcast[VariantWeights], mode: String): Dataset[Mention] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    wide.mapPartitions { it =>
+      val m = bcModel.value
+      val inf = new PyramidInference(m.weights, m.vocab)
+      val vi = new PyramidVariantInference(inf, bcVar.value)
+      val spansOf: Array[String] => IndexedSeq[TokSpan] = mode match {
+        case "bidirectional" => toks => vi.detectBidirectional(toks, m.codec)
+        case "multilabel"    => toks => vi.detectMultiLabel(toks, m.codec)
+        case other           => throw new IllegalArgumentException(s"unknown variant mode $other")
+      }
+      it.flatMap(doc => detectDocWith(doc, spansOf))
     }
   }
 

@@ -1,0 +1,136 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kg.{DocGen, Mentions}
+
+/** Variant decoders (N6 bidirectional, N8/N18 multi-label, N12 contextual):
+  * determinism, reference-shape invariants, non-degeneracy, and
+  * distribution-invariance (partitioning must not change results).
+  */
+class PyramidVariantsSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private val cfg = ModelConfig.tiny
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("variants-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val docs = DocGen.docs(spark, sfDir)
+  private lazy val model = Mentions.buildModel(docs, cfg)
+  private lazy val vw = VariantWeights.build(Mentions.ModelSeed, cfg, Mentions.Kinds.length)
+  private def newVi() =
+    new PyramidVariantInference(new PyramidInference(model.weights, model.vocab), vw)
+
+  private lazy val sampleTokens: Seq[Array[String]] =
+    docs.orderBy("doc_id").limit(60).collect().toSeq
+      .map(_.spans.filter(_.kind == "text").sortBy(_.offset).map(_.text))
+      .filter(_.nonEmpty)
+
+  test("forwardHidden layer shapes follow the pyramid (T_l = S - l)") {
+    val inf = new PyramidInference(model.weights, model.vocab)
+    val toks = sampleTokens.find(_.length >= cfg.maxDepth + 3).get
+    val h = inf.forwardHidden(toks)
+    assert(h.length == cfg.maxDepth + 1)
+    h.zipWithIndex.foreach { case (hl, l) =>
+      assert(hl.length == (toks.length - l) * cfg.encOut, s"layer $l")
+    }
+    // short sequence stops early: S=2 → layers for l=0,1 only
+    val h2 = inf.forwardHidden(Array("alpha", "beta"))
+    assert(h2.length == math.min(2, cfg.maxDepth + 1))
+  }
+
+  test("bidirectional decode is deterministic and respects span-length semantics") {
+    val vi = newVi()
+    val vi2 = newVi()
+    var total = 0
+    sampleTokens.foreach { toks =>
+      val a = vi.detectBidirectional(toks, model.codec)
+      val b = vi2.detectBidirectional(toks, model.codec)
+      assert(a == b, "deterministic across instances")
+      a.foreach { s =>
+        assert(s.startTok >= 0 && s.startTok + s.lenTok <= toks.length, "span in bounds")
+        assert(Mentions.Kinds.contains(s.kind))
+        assert(s.lenTok >= 1)
+      }
+      total += a.length
+    }
+    assert(total > 0, "bidirectional head must detect something on the corpus")
+  }
+
+  test("bidirectional differs from the forward-only decoder (the inverse pass is live)") {
+    val inf = new PyramidInference(model.weights, model.vocab)
+    val vi = new PyramidVariantInference(inf, vw)
+    val differs = sampleTokens.exists { toks =>
+      inf.detect(toks, model.codec) != vi.detectBidirectional(toks, model.codec)
+    }
+    assert(differs)
+  }
+
+  test("multi-label decode can emit several kinds on one span position") {
+    val vi = newVi()
+    var total = 0
+    var multi = false
+    sampleTokens.foreach { toks =>
+      val spans = vi.detectMultiLabel(toks, model.codec)
+      total += spans.length
+      val byPos = spans.groupBy(s => (s.startTok, s.lenTok))
+      multi ||= byPos.exists(_._2.map(_.kind).distinct.length > 1)
+      assert(spans == newVi().detectMultiLabel(toks, model.codec))
+    }
+    assert(total > 0, "multi-label head must detect something")
+    assert(multi, "some position should carry >1 kind (multi-hot heads)")
+  }
+
+  test("contextual decoder responds to context (N12)") {
+    val vi = newVi()
+    val pre = Array("alpha", "beta", "gamma")
+    val post = Array("delta")
+    // empty context == zero vector; must be deterministic
+    sampleTokens.take(20).foreach { toks =>
+      val a = vi.detectContextual(toks, Array.empty, Array.empty, model.codec)
+      val b = newVi().detectContextual(toks, Array.empty, Array.empty, model.codec)
+      assert(a == b)
+    }
+    val sensitive = sampleTokens.exists { toks =>
+      vi.detectContextual(toks, pre, post, model.codec) !=
+        vi.detectContextual(toks, Array.empty, Array.empty, model.codec)
+    }
+    assert(sensitive, "context vector must influence the decode")
+  }
+
+  test("context pooling: min/max/mean lanes (document_embeddings.py:169-184)") {
+    val vi = newVi()
+    val c = vi.contextVector(Array("alpha"), Array.empty)
+    val dW = cfg.wordDim
+    // single token: min == max == mean == its embedding
+    (0 until dW).foreach { j =>
+      assert(math.abs(c(j) - c(dW + j)) < 1e-6f)
+      assert(math.abs(c(j) - c(2 * dW + j)) < 1e-5f)
+    }
+    assert(vi.contextVector(Array.empty, Array.empty).forall(_ == 0f))
+  }
+
+  test("distributed variant detection == sequential re-derivation (both modes)") {
+    import spark.implicits._
+    val bcM = spark.sparkContext.broadcast(model)
+    val bcV = spark.sparkContext.broadcast(vw)
+    val someDocs = docs.orderBy("doc_id").limit(120).repartition(7)
+    for (mode <- Seq("bidirectional", "multilabel")) {
+      val got = Mentions.detectVariant(someDocs, bcM, bcV, mode)
+        .collect().groupBy(_.doc_id).map { case (k, v) => k -> v.sortBy(_.order).toSeq }
+      val vi = newVi()
+      val want = someDocs.collect().toSeq.map { d =>
+        d.doc_id -> Mentions.detectDocWith(d, toks =>
+          if (mode == "bidirectional") vi.detectBidirectional(toks, model.codec)
+          else vi.detectMultiLabel(toks, model.codec)).toSeq
+      }.filter(_._2.nonEmpty).toMap
+      assert(got == want, s"mode $mode")
+    }
+  }
+}
