@@ -148,6 +148,24 @@ object Readers {
       }
   }
 
+  // ------------------------------------------------------------------- S7
+
+  /** `simple_wrg_reader` (`utils/data.py:183-206`): the wrg records in
+    * dict-of-tokens form — token list + entities as token spans
+    * `[start, end+1)`. A projection of S4 re-deriving the token spans from
+    * the char offsets (the wrg text is single-space joined, so the mapping
+    * is exact).
+    */
+  def simpleWrg(spark: SparkSession, dir: String): DataFrame =
+    wrg(spark, dir).toDF()
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("entities", expr(
+        """transform(entities, e -> named_struct(
+          |  'entity_type', e.kind,
+          |  'span', array(size(split(substring(text, 1, e.start_c), ' ')) - 1,
+          |                size(split(substring(text, 1, e.end_c), ' ')))))""".stripMargin))
+      .select(col("file"), col("idx"), col("tokens"), col("entities"))
+
   // -------------------------------------------------------------- S5 / S6
 
   /** Sentence-window reader (`utils/data.py:137-155`): ±`windowSize`

@@ -195,6 +195,35 @@ class ReadersSpec extends AnyFunSuite {
     assert(wv.idOf(wv.lexicon(0)) == 1)
   }
 
+  // ------------------------------------------------------------------- S7
+
+  test("simple wrg reader: token-span projection matches the staged tags (S7)") {
+    val got = Readers.simpleWrg(spark, s"$stageDir/wrg")
+      .selectExpr("file", "idx", "tokens", "entities").collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getSeq[String](2).toList,
+          r.getSeq[org.apache.spark.sql.Row](3)
+            .map(e => (e.getString(0), e.getSeq[Int](1).toList)).toList))).toMap
+    // the staged tag line carries the ground-truth token spans: "s,t KIND"
+    // inclusive → reference span [s, t+1) (utils/data.py:196-200)
+    val want = ReaderStage.wrgRecords(baseDocs).groupBy(_._1).flatMap { case (shard, recs) =>
+      recs.zipWithIndex.map { case ((_, rec), i) =>
+        val lines = rec.split('\n')
+        val toks = lines(0).split(' ').toList
+        val ents =
+          if (lines(2).isEmpty) Nil
+          else lines(2).split('|').toList.map { tag =>
+            val Array(span, kind) = tag.split(' ')
+            val Array(s, t) = span.split(',').map(_.toInt)
+            (kind, List(s, t + 1))
+          }
+        ((s"part-$shard.wrg", i), (toks, ents))
+      }
+    }
+    assert(got == want)
+    assert(want.values.exists(_._2.nonEmpty))
+  }
+
   // ------------------------------------------------------------------- S8
 
   test("vocab loader strips and drops blank lines (S8)") {
