@@ -50,10 +50,12 @@ object Bench {
     val model = Mentions.buildModel(docs, ModelConfig())
     val nTokens = docs.toDF().selectExpr("sum(size(filter(spans, s -> s.kind = 'text')))")
       .head().getLong(0)
+    val h = Triples.pipelineHandle(docs, model)
     val (_, kgSec) = time {
-      force(Triples.pipelineFrom(docs, model))
+      force(h.triples)
     }
-    val nTriples = Triples.pipelineFrom(docs, model).count()
+    val nTriples = h.triples.count() // cached subtrees — count is cheap
+    h.unpersistAll()
     docs.unpersist()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + kgSec

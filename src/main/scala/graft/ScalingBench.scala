@@ -37,9 +37,10 @@ object ScalingBench {
       var triples = 0L
       val times = (0 to reps).map { i => // rep 0 = warm-up, excluded
         val t0 = System.nanoTime()
-        val t = Triples.pipelineFrom(docs, model)
-        t.write.format("noop").mode("overwrite").save()
-        if (i == 0) triples = Triples.pipelineFrom(docs, model).count()
+        val h = Triples.pipelineHandle(docs, model)
+        h.triples.write.format("noop").mode("overwrite").save()
+        if (i == 0) triples = h.triples.count()
+        h.unpersistAll()
         (System.nanoTime() - t0) / 1e9
       }.drop(1).sorted
       val median = times(times.length / 2)

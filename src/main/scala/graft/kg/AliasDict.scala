@@ -62,22 +62,24 @@ object AliasDict {
       .where(mdFrac(col("alias")) < Selectivity)
     def entity(aliasCol: Column, salt: String): Column =
       concat(lit("E"), substring(md5(concat(aliasCol, lit(salt))), 1, 12))
-    val primary = distinctAliases.select(
-      col("alias"),
-      entity(col("alias"), "").as("entity_id"),
-      kindOf(col("alias")).as("kind"),
-      (mdFrac(concat(col("alias"), lit("#p"))) * 0.5 + 0.5).as("prior"))
+    def rowOf(e: Column, k: Column, p: Column) =
+      struct(e.as("entity_id"), k.as("kind"), p.as("prior"))
+    val primary = rowOf(entity(col("alias"), ""), kindOf(col("alias")),
+      mdFrac(concat(col("alias"), lit("#p"))) * 0.5 + 0.5)
     // ambiguous multi-token aliases also resolve to their HEAD token's entity
     // ("Barack Obama" vs "Obama"): gives canonicalization real multi-node
     // components (stars around hot head tokens — the CC skew case).
-    val secondary = distinctAliases
-      .where(mdFrac(concat(col("alias"), lit("#a"))) < Ambiguity)
-      .where(col("alias").contains(" "))
-      .select(
-        col("alias"),
-        entity(substring_index(col("alias"), " ", 1), "").as("entity_id"),
-        kindOf(substring_index(col("alias"), " ", 1)).as("kind"),
-        (mdFrac(concat(col("alias"), lit("#q"))) * 0.5).as("prior"))
-    primary.unionAll(secondary)
+    // One projection + explode instead of a primary/secondary union — a union
+    // of two filters over the same aggregate would compute the distinct TWICE
+    // (no exchange reuse across the differing projections).
+    val head = substring_index(col("alias"), " ", 1)
+    val secondary = rowOf(entity(head, ""), kindOf(head),
+      mdFrac(concat(col("alias"), lit("#q"))) * 0.5)
+    val isAmbiguous =
+      (mdFrac(concat(col("alias"), lit("#a"))) < Ambiguity) && col("alias").contains(" ")
+    distinctAliases
+      .select(col("alias"), explode(
+        when(isAmbiguous, array(primary, secondary)).otherwise(array(primary))).as("r"))
+      .select(col("alias"), col("r.entity_id"), col("r.kind"), col("r.prior"))
   }
 }

@@ -21,39 +21,41 @@ import org.apache.spark.sql.expressions.Window
 object Triples {
   val SaltBuckets = 32
 
-  /** distinct (a, pred, b) via salted two-phase aggregation: partial
-    * per-salt distinct, then final distinct — the salt splits hot keys
-    * across `SaltBuckets` reducers in phase 1 so no single task owns a hot
-    * entity's full row set.
+  /** distinct (subj, pred, obj) via salted two-phase aggregation. The input
+    * must carry a `salt` column derived from NON-key columns (doc_id/order):
+    * a salt that is a function of the key would send every row of a hot key
+    * to the same reducer and split nothing. With a non-key salt, phase 1
+    * (groupBy key+salt) collapses a hot key's row set to ≤ SaltBuckets rows,
+    * so no phase-2 reducer ever owns a hot entity's full duplicate stream.
+    * Map-side partial aggregation still combines within tasks — the salt
+    * bounds what survives the exchange.
     */
-  private def saltedDistinct(df: DataFrame, saltSrc: org.apache.spark.sql.Column): DataFrame = {
-    val cols = df.columns.map(col)
-    df.withColumn("salt", pmod(xxhash64(saltSrc), lit(SaltBuckets)))
-      .groupBy((cols :+ col("salt")).toIndexedSeq: _*).agg(count(lit(1)).as("_c"))
+  private def saltedDistinct(df: DataFrame): DataFrame = {
+    val cols = df.columns.filter(_ != "salt").map(col)
+    df.groupBy((cols :+ col("salt")).toIndexedSeq: _*).agg(count(lit(1)).as("_c"))
       .groupBy(cols.toIndexedSeq: _*).agg(count(lit(1)).as("_c2"))
       .select(cols.toIndexedSeq: _*)
   }
 
   def fromCanonical(canon: DataFrame): DataFrame = {
+    // salt from (doc_id, order): never part of any triple key, uniform
     val base = canon.select(
       col("doc_id"), col("order"), col("canonical_id"),
-      col("dict_kind"), col("media_ref"))
+      col("dict_kind"), col("media_ref"),
+      pmod(xxhash64(col("doc_id"), col("order")), lit(SaltBuckets)).as("salt"))
 
     val instanceOf = saltedDistinct(
       base.select(col("canonical_id").as("subj"), lit("instance_of").as("pred"),
-        col("dict_kind").as("obj")),
-      xxhash64(col("subj"), col("obj")))
+        col("dict_kind").as("obj"), col("salt")))
 
     val mentionedIn = saltedDistinct(
       base.select(col("canonical_id").as("subj"), lit("mentioned_in").as("pred"),
-        col("doc_id").as("obj")),
-      col("obj"))
+        col("doc_id").as("obj"), col("salt")))
 
     val depictedIn = saltedDistinct(
       base.where(col("media_ref") =!= "")
         .select(col("canonical_id").as("subj"), lit("depicted_in").as("pred"),
-          col("media_ref").as("obj")),
-      col("obj"))
+          col("media_ref").as("obj"), col("salt")))
 
     // consecutive mentions in reference decode order within a doc; the
     // window shuffle is keyed by doc_id (uniform), not by entity (skewed)
@@ -62,21 +64,30 @@ object Triples {
       base.withColumn("next_id", lead(col("canonical_id"), 1).over(w))
         .where(col("next_id").isNotNull && col("next_id") =!= col("canonical_id"))
         .select(col("canonical_id").as("subj"), lit("co_occurs_with").as("pred"),
-          col("next_id").as("obj")),
-      xxhash64(col("subj"), col("obj")))
+          col("next_id").as("obj"), col("salt")))
 
     instanceOf.unionAll(mentionedIn).unionAll(depictedIn).unionAll(coOccurs)
+  }
+
+  /** Pipeline result + the intermediate persists it holds — benchmark loops
+    * call `unpersistAll()` between reps so cached copies don't accumulate.
+    */
+  final case class PipelineHandle(triples: DataFrame, cached: Seq[DataFrame]) {
+    def unpersistAll(): Unit = cached.foreach(_.unpersist())
   }
 
   /** Pipeline over an existing (ideally cached) docs Dataset + prebuilt
     * model: mentions → link → canonicalize → triples.
     */
-  def pipelineFrom(docs: org.apache.spark.sql.Dataset[PyramidDoc],
-                   model: Mentions.Model): DataFrame = {
+  def pipelineHandle(docs: org.apache.spark.sql.Dataset[PyramidDoc],
+                     model: Mentions.Model): PipelineHandle = {
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(model)
     val mentions = Mentions.detect(docs, bc).toDF()
+    // the dict subtree (scan + ngram HOFs + distinct agg) feeds BOTH the
+    // broadcast link join and the CC edge derivation — persist or compute 2×
     val dict = AliasDict.build(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val linked = Link.link(mentions, dict)
     val canonMap = Canonical.connectedComponents(Canonical.edgesFromDict(dict))
     // fromCanonical fans out into four triple families; without a persist the
@@ -86,8 +97,12 @@ object Triples {
     // does exactly that per bucket).
     val canon = Canonical.canonicalize(linked, canonMap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fromCanonical(canon)
+    PipelineHandle(fromCanonical(canon), Seq(dict, canon))
   }
+
+  def pipelineFrom(docs: org.apache.spark.sql.Dataset[PyramidDoc],
+                   model: Mentions.Model): DataFrame =
+    pipelineHandle(docs, model).triples
 
   /** Full pipeline: docs → mentions → link → canonicalize → triples. */
   def pipeline(spark: SparkSession, sfDir: String,

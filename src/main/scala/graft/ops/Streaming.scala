@@ -48,6 +48,89 @@ object Streaming {
     spark.table(name)
   }
 
+  // ---------------------------------------------------- stateful streaming
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(idx: Int, start: Long, end: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, session_idx: Int, n_events: Long,
+                              session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, sum_value: Double)
+
+  val SessionGapSec = 1800L
+
+  /** True custom-state streaming sessionization:
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` with an event-time
+    * timeout. A session CLOSES (emits) when a later event arrives more than
+    * 30 min after it, or when the watermark passes its gap timeout; each
+    * user's final session stays open in state until the watermark advances —
+    * with a finite AvailableNow source there is no further data to advance
+    * it, so the open tail sessions are intentionally unemitted (OpsSpec
+    * validates stream == batch on the closed sessions).
+    */
+  def sessionsStream(spark: SparkSession, sfDir: String,
+                     name: String = "sessions_out"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_src")
+    val link = dir.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    link.toFile.deleteOnExit(); dir.toFile.deleteOnExit()
+    val src = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .as[SessionEvent]
+
+    val q = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        SessionHandler.apply _)
+      .withColumn("sum_value", round(col("sum_value"), 6))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** The per-group state handler, in its own serializable object — an
+    * eta-expanded local def would capture the enclosing (non-serializable)
+    * module and fail closure serialization on executors.
+    */
+  private[ops] object SessionHandler extends Serializable {
+    import org.apache.spark.sql.streaming.GroupState
+    def apply(userId: Long, events: Iterator[SessionEvent],
+              state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val out = Seq.newBuilder[SessionOut]
+      def emit(s: SessionState): Unit = out += SessionOut(userId, s.idx, s.n,
+        new java.sql.Timestamp(s.start * 1000), new java.sql.Timestamp(s.end * 1000), s.sum)
+      if (state.hasTimedOut) {
+        state.getOption.foreach(emit)
+        state.remove()
+      } else {
+        // micro-batch arrival order within a group is not time-ordered
+        val sorted = events.toArray.sortBy(_.ts.getTime)
+        var cur = state.getOption.orNull
+        sorted.foreach { e =>
+          val t = e.ts.getTime / 1000
+          if (cur == null) cur = SessionState(1, t, t, 1, e.value)
+          else if (t - cur.end > SessionGapSec) {
+            emit(cur)
+            cur = SessionState(cur.idx + 1, t, t, 1, e.value)
+          } else cur = cur.copy(end = math.max(cur.end, t), n = cur.n + 1, sum = cur.sum + e.value)
+        }
+        if (cur != null) {
+          state.update(cur)
+          state.setTimeoutTimestamp((cur.end + SessionGapSec) * 1000)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
   /** stateful sessionization per user: events within 30 min of each other
     * belong to one session (flatMapGroupsWithState analogue via window lag —
     * batch form; demonstrates the session-window op).

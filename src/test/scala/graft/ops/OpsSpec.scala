@@ -69,6 +69,40 @@ class OpsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("flatMapGroupsWithState sessionization == batch sessions") {
+    // a session is emitted either when a later event closes it in-batch, or
+    // when the event-time timeout fires once the final watermark
+    // (max event time − 10 min) passes session_end + gap. Sessions still
+    // inside that horizon stay open in state — exclude exactly those.
+    def key(userId: Long, start: String, end: String, n: Long, sum: Double) =
+      (userId, start, end, n, math.rint(sum * 1e6) / 1e6)
+    val batchDf = Streaming.sessions(spark, sfDir)
+    val batchRows = batchDf
+      .withColumn("s", date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("e", date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("end_sec", unix_timestamp(col("session_end")))
+      .selectExpr("user_id", "session_idx", "s", "e", "n_events", "sum_value", "end_sec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))
+    val lastIdx = batchRows.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+    val maxTsSec = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("max(unix_timestamp(cast(ts as timestamp)))").head().getLong(0)
+    val watermarkSec = maxTsSec - 600
+    val expected = batchRows.filter { case (u, i, _, _, _, _, endSec) =>
+      lastIdx(u) != i || endSec + Streaming.SessionGapSec < watermarkSec
+    }.map { case (u, _, s, e, n, v, _) => key(u, s, e, n, v) }.toSet
+    val streamRows = Streaming.sessionsStream(spark, sfDir)
+      .withColumn("s", date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("e", date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss"))
+      .selectExpr("user_id", "s", "e", "n_events", "sum_value")
+      .collect()
+      .map(r => key(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(streamRows == expected)
+    assert(streamRows.nonEmpty, "corpus must contain emitted sessions")
+  }
+
   test("ANN-LSH results are a subset of brute-force scores with decent recall@10") {
     val exact = Similarity.cosineTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
