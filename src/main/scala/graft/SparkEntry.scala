@@ -296,6 +296,8 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "mm_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
+    "mm_resize" -> ((s, dir) => Multimodal.resized(s, dir)),
+    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSamples(s, dir)),
   )
 
   // -------------------------------------------------------------- oracle

@@ -56,4 +56,32 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** Resize plumbing: fit (width, height) inside a `maxSide` box preserving
+    * aspect ratio — the metadata math a resize kernel needs, computed in
+    * Catalyst (the pixel transform itself would live inside the same
+    * mapPartitions the decode stub marks).
+    */
+  def resized(spark: SparkSession, sfDir: String, maxSide: Int = 128): DataFrame =
+    mediaFeatures(spark, sfDir)
+      .withColumn("scale",
+        least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))))
+      .select(col("doc_id"), col("media_ref"), col("width"), col("height"),
+        greatest(lit(1), round(col("width") * col("scale")).cast("int")).as("out_width"),
+        greatest(lit(1), round(col("height") * col("scale")).cast("int")).as("out_height"),
+        round(col("scale"), 6).as("scale"))
+
+  /** Frame sampling: one row per sampled frame (every `stride`-th frame of
+    * the stub's n_frames), with a deterministic per-frame payload ref. The
+    * explode is the real plumbing — a video pipeline swaps the payload
+    * derivation for actual frame bytes; row count stays ceil(n/stride) per
+    * asset, so the fan-out is bounded and uniform.
+    */
+  def frameSamples(spark: SparkSession, sfDir: String, stride: Int = 4): DataFrame =
+    mediaFeatures(spark, sfDir)
+      .select(col("doc_id"), col("media_ref"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .withColumn("frame_ref",
+        concat(col("media_ref"), lit("#f"), col("frame_idx")))
+      .withColumn("frame_payload", unhex(md5(col("frame_ref"))))
 }

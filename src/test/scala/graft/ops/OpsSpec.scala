@@ -151,4 +151,32 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getSeq[Float](5).length == 8)
     }
   }
+
+  test("resize fits the max-side box preserving aspect ratio") {
+    val rows = Multimodal.resized(spark, sfDir, maxSide = 128).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(ow <= 128 && oh <= 128, s"fits box: $ow x $oh")
+      assert(math.max(ow, oh) >= 127 || (w <= 128 && h <= 128),
+        s"long side fills the box unless source is smaller: $w x $h -> $ow x $oh")
+      // aspect preserved within rounding (relative: ±1 px on the short side)
+      val aspect = w.toDouble / h
+      assert(math.abs(ow.toDouble / oh - aspect) <= aspect / math.min(ow, oh) + 1e-9,
+        s"$w x $h -> $ow x $oh")
+    }
+  }
+
+  test("frame sampling emits every stride-th frame with deterministic refs") {
+    val stride = 4
+    val rows = Multimodal.frameSamples(spark, sfDir, stride).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (ref, rs) =>
+      val n = rs.head._2
+      val want = (0 until n by stride).toList
+      assert(rs.map(_._3).sorted.toList == want, s"frames of $ref")
+      rs.foreach { case (_, _, idx, fref) => assert(fref == s"$ref#f$idx") }
+    }
+  }
 }
