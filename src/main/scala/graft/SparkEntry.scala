@@ -291,6 +291,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "sim_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "sim_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
+    "sim_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "text_langid" -> ((s, dir) => TextOps.langId(s, dir)),
     "text_quality" -> ((s, dir) => TextOps.quality(s, dir)),
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(s, dir)),

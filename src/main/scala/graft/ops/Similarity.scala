@@ -59,6 +59,51 @@ object Similarity {
     * correlation, so narrow bands keep recall usable); exact cosine re-rank
     * inside the candidate set. Output shape matches cosineTopK.
     */
+  // ------------------------------------------------------------------ IVF
+
+  val IvfClusters = 32
+  val IvfProbes = 4
+
+  /** 32 cosine scores against broadcast centroid literals, as one codegen'd
+    * array of (score, cluster) structs.
+    */
+  private def centroidScores(emb: Column, cents: Seq[Array[Float]]): Column =
+    array(cents.zipWithIndex.map { case (c, k) =>
+      struct(Fns.cosine_sim(emb, typedlit(c)).as("s"), lit(k).as("k"))
+    }: _*)
+
+  /** IVF-style ANN — the other scale path: vectors are ASSIGNED to their
+    * nearest centroid (one scan, centroids broadcast as literals), queries
+    * PROBE their `IvfProbes` nearest clusters, and the candidate join is an
+    * equi-join on cluster id — at 10^9 vectors the inverted lists live
+    * bucketed/clustered by `cluster`, so a probe reads ~probes/clusters of
+    * the corpus instead of scanning it. Centroids here are the first
+    * `IvfClusters` vectors (deterministic); a production pipeline swaps in
+    * k-means centroids — the probe/prune structure is what this realizes.
+    * Exact cosine re-ranks candidates; output shape matches cosineTopK.
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embDf(spark, sfDir)
+    val cents = e.orderBy("vec_id").limit(IvfClusters)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+    val scored = e.withColumn("scores", centroidScores(col("embedding"), cents))
+    // natural struct ordering: max by (score, then cluster id) — deterministic
+    val assigned = scored
+      .withColumn("cluster", expr("array_max(scores).k"))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val probes = scored.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        explode(expr(s"slice(reverse(array_sort(scores)), 1, $IvfProbes)")).as("p"))
+      .select(col("query_id"), col("q"), col("p.k").as("cluster"))
+    val cand = assigned.join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Fns.cosine_sim(col("q"), col("embedding")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
+  }
+
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embDf(spark, sfDir).withColumn("sig", signature(col("embedding")))
     val bands = (0 until LshBits / 4).map(k =>

@@ -114,6 +114,20 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.05, s"recall@10 = $recall suspiciously low")
   }
 
+  test("IVF ANN: cluster partition covers the corpus; probes recover exact neighbors") {
+    val exact = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = ivf.intersect(exact).size.toDouble / exact.size
+    info(f"IVF recall@10 = $hit%.3f")
+    assert(hit > 0.2, s"IVF recall vs exact top-10 = $hit")
+    // every vector lands in exactly one cluster (the inverted-list partition)
+    val e = Similarity.embDf(spark, sfDir)
+    assert(Similarity.annIvf(spark, sfDir).select("query_id").distinct().count() ==
+      e.where(col("vec_id") % Similarity.QueryMod === 0).count())
+  }
+
   test("exact dedup groups cover all docs; jaccard pairs are symmetric-free and thresholded") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val groups = Dedup.exact(spark, sfDir)
