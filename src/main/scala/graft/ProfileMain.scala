@@ -25,8 +25,11 @@ object ProfileMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = t("docs")(DocGen.docs(spark, sfDir))
+    t("ngrams count")(println("  ngrams=" + AliasDict.ngramsDf(docs).count()))
+    t("ngrams distinct")(println("  distinct=" + AliasDict.ngramsDf(docs).distinct().count()))
     val dict = t("dict build (lazy)")(AliasDict.build(docs))
     t("dict force")(dict.write.format("noop").mode("overwrite").save())
+    t("dict force 2")(dict.write.format("noop").mode("overwrite").save())
     val edges = t("edges (lazy)")(Canonical.edgesFromDict(dict))
     t("edges count")(println("  edges=" + edges.count()))
     t("cc")(println("  cc rows=" + Canonical.connectedComponents(edges).count()))
