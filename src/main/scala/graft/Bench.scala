@@ -34,11 +34,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // failures are reported EXPLICITLY (failed list + negative sentinel time)
+    // — a swallowed exception must not masquerade as a plausible duration
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = time {
-        try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
+      val (ok, sec) = time {
+        try { force(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
+          false
+        }
       }
-      name -> sec
+      name -> (if (ok) sec else -1.0)
     }
 
     // headline: full KG pipeline on the amplified corpus, triples/sec.
@@ -58,9 +66,11 @@ object Bench {
     h.unpersistAll()
     docs.unpersist()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + kgSec
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum + kgSec
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""failed":$failedJson,""" +
         s""""kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"kg_docs":$nDocs,""" +
         s""""kg_tokens":$nTokens,"kg_amplify":$amplify,""" +
         s""""kg_triples_per_sec":${nTriples / kgSec},"kg_tokens_per_sec":${nTokens / kgSec}}""")

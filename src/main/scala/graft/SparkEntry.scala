@@ -39,10 +39,19 @@ object SparkEntry {
     * KgPipelineSpec (per-row span equality, triples P=R=1.0 vs GoldRef).
     */
   private def kgQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "kg_docs" -> ((s, dir) =>
+    "kg_docs" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir) // oracle reads the sequential staging
       DocGen.docs(s, dir).toDF()
         .select(col("doc_id"), explode(col("spans")).as("s"))
-        .select(col("doc_id"), col("s.kind"), col("s.text"), col("s.media_ref"), col("s.offset"))),
+        .select(col("doc_id"), col("s.kind"), col("s.text"), col("s.media_ref"), col("s.offset"))
+    }),
+    // distributed detect over the eval slice vs the STAGED GoldRef mentions:
+    // the driver's DuckDB hash gate enforces per-row equality of the neural
+    // stage (the P=R=1.0 spec assertion, now driver-checked)
+    "kg_mentions_slice" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      Eval.slicePred(s, dir)
+    }),
     "kg_mentions" -> ((s, dir) => {
       val bc = s.sparkContext.broadcast(model(s, dir))
       Mentions.detect(DocGen.docs(s, dir), bc).toDF()
@@ -272,13 +281,15 @@ object SparkEntry {
   private def evalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_span_prf" -> ((s, dir) => Eval.spanPrf(s, dir)),
     "eval_bioes_prf" -> ((s, dir) => Eval.bioesPrf(s, dir)),
+    // per-layer/nesting aggregations over the eval slice so the DuckDB oracle
+    // can re-derive them relationally from the staged GoldRef mentions
     "eval_layers" -> ((s, dir) => {
-      val bc = s.sparkContext.broadcast(model(s, dir))
-      Eval.perLayer(Mentions.detect(DocGen.docs(s, dir), bc).toDF(), ModelConfig().maxDepth)
+      val _ = KgStage.stage(s, dir)
+      Eval.perLayer(Eval.slicePred(s, dir), ModelConfig().maxDepth)
     }),
     "eval_nesting" -> ((s, dir) => {
-      val bc = s.sparkContext.broadcast(model(s, dir))
-      Eval.nesting(Mentions.detect(DocGen.docs(s, dir), bc).toDF())
+      val _ = KgStage.stage(s, dir)
+      Eval.nesting(Eval.slicePred(s, dir))
     }),
   )
 
@@ -296,9 +307,25 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextOps.quality(s, dir)),
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
-    "mm_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
-    "mm_resize" -> ((s, dir) => Multimodal.resized(s, dir)),
-    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSamples(s, dir)),
+    // driver projections: scalar feature columns (the driver's pandas hasher
+    // can't hash array cells) and hex instead of raw binary; the API
+    // functions keep the array/binary columns
+    "mm_media_features" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      Multimodal.mediaFeatures(s, dir).select(
+        Seq(col("doc_id"), col("media_ref"), col("width"), col("height"), col("n_frames")) ++
+          (0 until 8).map(i => col("feature")(i).cast("double").as(s"f$i")): _*)
+    }),
+    "mm_resize" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      Multimodal.resized(s, dir)
+    }),
+    "mm_frame_sample" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      Multimodal.frameSamples(s, dir)
+        .select(col("doc_id"), col("media_ref"), col("n_frames"), col("frame_idx"),
+          col("frame_ref"), lower(hex(col("frame_payload"))).as("payload_hex"))
+    }),
   )
 
   // -------------------------------------------------------------- oracle
@@ -403,8 +430,8 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |sess AS (
         |  SELECT user_id, ts, value,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |  FROM gapped)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end,
@@ -448,10 +475,13 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (s"WITH sig AS (${simhashSql})" +
       s""", bands AS (
          |  SELECT doc_id, simhash, b AS band, (simhash >> (8*b)) & 255 AS byte
-         |  FROM sig, LATERAL (SELECT unnest([0,1,2,3]) AS b))
+         |  FROM sig, LATERAL (SELECT unnest([0,1,2,3]) AS b)),
+         |hot AS (SELECT band, byte FROM bands GROUP BY 1, 2
+         |  HAVING count(*) > ${Dedup.MaxSimhashBucket}),
+         |capped AS (SELECT * FROM bands ANTI JOIN hot USING (band, byte))
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-         |FROM bands a JOIN bands b USING (band, byte)
+         |FROM capped a JOIN capped b USING (band, byte)
          |WHERE a.doc_id < b.doc_id
          |  AND bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxHamming}""".stripMargin),
     "sim_cosine_topk" ->
@@ -536,12 +566,205 @@ object SparkEntry {
          |  column1 AS v0, column2 AS v1, column3 AS v2, column4 AS v3,
          |  column5 AS v4, column6 AS v5, column7 AS v6, column8 AS v7
          |FROM read_csv('$StagePath/glove.csv', header = false)""".stripMargin,
+    // wrg parses: the stager writes JSONL mirrors of exactly the rows the
+    // distributed wrg parser must produce (the 4-line wrg text itself is not
+    // SQL-parseable; the parsed relation is)
+    "src_wrg" ->
+      s"""SELECT file, CAST(idx AS INT) AS idx, text, kind, value,
+         |  CAST(start_c AS INT) AS start_c, CAST(end_c AS INT) AS end_c
+         |FROM read_json('$StagePath/wrg_expect.jsonl')""".stripMargin,
+    "src_wrg_swin" ->
+      s"""SELECT file, CAST(idx AS INT) AS idx, text,
+         |  CAST(n_pre AS INT) AS n_pre, CAST(n_post AS INT) AS n_post,
+         |  prev_text, next_text
+         |FROM read_json('$StagePath/wrg_swin_expect.jsonl')""".stripMargin,
+    "src_wrg_twin" ->
+      s"""SELECT file, CAST(idx AS INT) AS idx, text, pre_ctx, post_ctx
+         |FROM read_json('$StagePath/wrg_twin_expect.jsonl')""".stripMargin,
+    // KG surface: oracles over the sequentially-staged parquet (KgStage) —
+    // the driver hash now enforces distributed == sequential
+    "kg_docs" ->
+      s"""SELECT doc_id, kind, text, media_ref, "offset"
+         |FROM read_parquet('$KgPath/docs_spans.parquet/*.parquet')""".stripMargin,
+    "kg_mentions_slice" ->
+      s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
+         |FROM read_parquet('$KgPath/gold_mentions.parquet/*.parquet')""".stripMargin,
+    "kg_dict" -> s"WITH $dictCtes\nSELECT alias, entity_id, kind, prior FROM dict",
+    "kg_canonical_map" -> canonicalSql,
+    "eval_layers" ->
+      s"""SELECT CASE WHEN len <= ${ModelConfig().maxDepth}
+         |  THEN 'layer_' || lpad(CAST(len AS VARCHAR), 2, '0') ELSE 'remedy' END AS layer,
+         |  count(*) AS n_mentions, count(DISTINCT kind) AS n_kinds
+         |FROM read_parquet('$KgPath/gold_mentions.parquet/*.parquet') GROUP BY 1""".stripMargin,
+    "eval_nesting" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, mention_id, start_tok, start_tok + len AS end_tok
+         |  FROM read_parquet('$KgPath/gold_mentions.parquet/*.parquet')),
+         |nested AS (
+         |  SELECT DISTINCT a.doc_id, a.mention_id FROM m a JOIN m b
+         |  ON a.doc_id = b.doc_id AND a.mention_id <> b.mention_id
+         |  AND b.start_tok <= a.start_tok AND a.end_tok <= b.end_tok),
+         |overlap AS (
+         |  SELECT DISTINCT a.doc_id, a.mention_id FROM m a JOIN m b
+         |  ON a.doc_id = b.doc_id AND a.mention_id <> b.mention_id
+         |  AND a.start_tok < b.end_tok AND b.start_tok < a.end_tok
+         |  AND NOT (b.start_tok <= a.start_tok AND a.end_tok <= b.end_tok)
+         |  AND NOT (a.start_tok <= b.start_tok AND b.end_tok <= a.end_tok)),
+         |rels AS (
+         |  SELECT doc_id, mention_id, 'nested' AS rel FROM nested
+         |  UNION ALL
+         |  SELECT doc_id, mention_id, 'overlapping' FROM overlap)
+         |SELECT m.doc_id, count(*) AS n_mentions,
+         |  CAST(sum(CASE WHEN rel = 'nested' THEN 1 ELSE 0 END) AS BIGINT) AS n_nested,
+         |  CAST(sum(CASE WHEN rel = 'overlapping' THEN 1 ELSE 0 END) AS BIGINT) AS n_overlapping,
+         |  CAST(sum(CASE WHEN rel IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flat
+         |FROM m LEFT JOIN rels USING (doc_id, mention_id)
+         |GROUP BY 1""".stripMargin,
+    // multimodal: the decode stub is pure md5-byte math — fully re-derivable
+    "mm_media_features" ->
+      s"""WITH $mmFeatsCte
+         |SELECT doc_id, media_ref, width, height, n_frames,
+         |  ${(0 until 8).map(i => s"f$i").mkString(", ")}
+         |FROM feats""".stripMargin,
+    "mm_resize" ->
+      s"""WITH $mmFeatsCte,
+         |s AS (SELECT doc_id, media_ref, width, height,
+         |        least(1.0, 128.0 / greatest(width, height)) AS sr FROM feats)
+         |SELECT doc_id, media_ref, width, height,
+         |  CAST(greatest(1, round(width * sr)) AS INT) AS out_width,
+         |  CAST(greatest(1, round(height * sr)) AS INT) AS out_height,
+         |  round(sr, 6) AS scale
+         |FROM s""".stripMargin,
+    "mm_frame_sample" ->
+      s"""WITH $mmFeatsCte,
+         |fr AS (SELECT doc_id, media_ref, n_frames,
+         |         CAST(unnest(generate_series(0, n_frames - 1, 4)) AS INT) AS frame_idx
+         |       FROM feats)
+         |SELECT doc_id, media_ref, n_frames, frame_idx,
+         |  media_ref || '#f' || frame_idx AS frame_ref,
+         |  md5(media_ref || '#f' || frame_idx) AS payload_hex
+         |FROM fr""".stripMargin,
+    "sim_ann_lsh" -> annLshSql
   )
 
   /** The driver's correctness gate runs at sf0.01 — the staged-reader oracle
     * SQL embeds that stage dir (oracle strings cannot see sfDir).
     */
   private val StagePath = s"${graft.sources.ReaderStage.StageRoot}/sf0.01"
+  private val KgPath = s"$StagePath/kg"
+
+  // ---------------------------------------------- KG oracle SQL generators
+
+  /** DuckDB mirror of AliasDict.mdFrac: first 6 md5 hex chars / 16^6. */
+  private def duckFrac(e: String): String =
+    s"(CAST(('0x' || substr(md5($e), 1, 6)) AS BIGINT) / 16777216.0)"
+
+  /** DuckDB mirror of AliasDict.kindOf: md5 hex chars 7-10 mod |Kinds|. */
+  private def duckKind(e: String): String = {
+    val kinds = Mentions.Kinds.map(k => s"'$k'").mkString(", ")
+    s"([$kinds][(CAST(('0x' || substr(md5($e), 7, 4)) AS BIGINT) % ${Mentions.Kinds.length}) + 1])"
+  }
+
+  /** Relational rebuild of AliasDict.build from the staged docs spans:
+    * per-doc token lists → distinct lowercased 1..3-gram windows → md5
+    * selectivity filter → primary (+ ambiguous head-token secondary) rows.
+    */
+  private lazy val dictCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, list(text ORDER BY "offset") AS t
+       |  FROM read_parquet('$KgPath/docs_spans.parquet/*.parquet')
+       |  WHERE kind = 'text' GROUP BY 1),
+       |tl AS (
+       |  -- two-step: a LATERAL referencing a SIBLING lateral's alias trips a
+       |  -- DuckDB binder INTERNAL error that invalidates the whole connection
+       |  SELECT t, l FROM toks, LATERAL (SELECT unnest([1, 2, 3]) AS l)
+       |  WHERE len(t) >= l),
+       |ng AS (
+       |  SELECT DISTINCT lower(array_to_string(t[i+1:i+l], ' ')) AS alias
+       |  FROM tl, LATERAL (SELECT unnest(generate_series(0, len(t) - l)) AS i)),
+       |filt AS (SELECT alias FROM ng
+       |  WHERE alias <> '' AND ${duckFrac("alias")} < ${AliasDict.Selectivity}),
+       |dict AS (
+       |  SELECT alias, 'E' || substr(md5(alias), 1, 12) AS entity_id,
+       |         ${duckKind("alias")} AS kind,
+       |         ${duckFrac("alias || '#p'")} * 0.5 + 0.5 AS prior
+       |  FROM filt
+       |  UNION ALL
+       |  SELECT alias, 'E' || substr(md5(split_part(alias, ' ', 1)), 1, 12),
+       |         ${duckKind("split_part(alias, ' ', 1)")},
+       |         ${duckFrac("alias || '#q'")} * 0.5
+       |  FROM filt
+       |  WHERE ${duckFrac("alias || '#a'")} < ${AliasDict.Ambiguity}
+       |    AND contains(alias, ' '))""".stripMargin
+
+  /** Connected components over the dict's all-pairs alias edges via a
+    * recursive transitive closure (tiny component sizes at oracle scale;
+    * the Spark side runs the large/small-star loop).
+    */
+  private lazy val canonicalSql: String =
+    s"""WITH RECURSIVE $dictCtes,
+       |cand AS (
+       |  SELECT alias, list_sort(list_distinct(list(entity_id))) AS es
+       |  FROM dict GROUP BY 1 HAVING count(DISTINCT entity_id) > 1),
+       |edges AS (
+       |  SELECT DISTINCT e1 AS src, e2 AS dst
+       |  FROM cand,
+       |       LATERAL (SELECT unnest(es[1:${graft.kg.Canonical.MaxCandidatesPerAlias}]) AS e1),
+       |       LATERAL (SELECT unnest(es[1:${graft.kg.Canonical.MaxCandidatesPerAlias}]) AS e2)
+       |  WHERE e1 < e2),
+       |sym AS (SELECT src AS u, dst AS v FROM edges UNION SELECT dst, src FROM edges),
+       |reach AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u)
+       |SELECT u AS entity_id, least(u, min(v)) AS canonical_id FROM reach GROUP BY 1""".stripMargin
+
+  /** DuckDB mirror of Multimodal.decodeStub over payload = unhex(md5(ref)):
+    * byte i of the payload is md5 hex chars [2i+1, 2i+2].
+    */
+  private lazy val mmFeatsCte: String = {
+    def byteAt(i: Int) = s"CAST(('0x' || substr(h, ${2 * i + 1}, 2)) AS INT)"
+    s"""feats AS (
+       |  SELECT doc_id, media_ref,
+       |    CAST(64 + ${byteAt(0)} * 4 AS INT) AS width,
+       |    CAST(64 + ${byteAt(1)} * 4 AS INT) AS height,
+       |    CAST(1 + ${byteAt(2)} % 32 AS INT) AS n_frames,
+       |    ${(0 until 8).map(i => s"CAST((${byteAt(3 + i)} - 128) / 128.0 AS DOUBLE) AS f$i").mkString(",\n    ")}
+       |  FROM (SELECT doc_id, media_ref, md5(media_ref) AS h
+       |        FROM read_parquet('$KgPath/docs_spans.parquet/*.parquet')
+       |        WHERE kind = 'media'))""".stripMargin
+  }
+
+  /** Full random-hyperplane LSH ANN in DuckDB: the ±1 hyperplanes are
+    * md5-derived constants shared with Similarity.hyperplane; bit decisions
+    * are made on the 6dp-ROUNDED cosine on BOTH sides so float-noise at the
+    * sign boundary cannot diverge.
+    */
+  private lazy val annLshSql: String = {
+    def hp(h: Int): String =
+      Similarity.hyperplane(h).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val sigExpr = (0 until Similarity.LshBits).map { h =>
+      s"CASE WHEN round(list_cosine_similarity(embedding::DOUBLE[], ${hp(h)}), 6) > 0 " +
+        s"THEN CAST(1 AS BIGINT) << $h ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding, $sigExpr AS sg FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id, embedding, b AS band, (sg >> (4*b)) & 15 AS bucket
+       |  FROM sig, LATERAL (SELECT unnest([0,1,2,3]) AS b)),
+       |qb AS (SELECT vec_id AS query_id, embedding AS q, band, bucket
+       |       FROM bands WHERE vec_id % ${Similarity.QueryMod} = 0),
+       |cand AS (
+       |  SELECT DISTINCT query_id, b.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+       |  FROM bands b JOIN qb USING (band, bucket)
+       |  WHERE b.vec_id <> query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM cand)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= ${Similarity.TopK}""".stripMargin
+  }
 
   /** 32-bit simhash in DuckDB: same md5-hex-digit construction as
     * Dedup.simhash, generated programmatically to stay in lockstep.

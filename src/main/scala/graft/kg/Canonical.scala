@@ -16,14 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object Canonical {
 
-  /** candidate edges from the dictionary: aliases carrying two entity rows
-    * connect those entities (shared-alias ambiguity, SURVEY.md §7 stage 3).
+  /** Per-alias candidate cap for edge derivation: a degenerate alias carrying
+    * thousands of candidates would square inside the pair expansion; capping
+    * at the SORTED first k keeps per-alias work bounded and deterministic
+    * (the synthetic dict has ≤2 candidates; a real KB occasionally more).
+    */
+  val MaxCandidatesPerAlias = 16
+
+  /** candidate edges from the dictionary: an alias carrying k candidate
+    * entities connects ALL of them pairwise (shared-alias ambiguity,
+    * SURVEY.md §7 stage 3) — a (min, max)-only derivation would silently
+    * split components when an alias has ≥3 candidates.
     */
   def edgesFromDict(dict: DataFrame): DataFrame =
     dict.groupBy("alias")
-      .agg(min("entity_id").as("src"), max("entity_id").as("dst"))
-      .where(col("src") =!= col("dst"))
-      .select("src", "dst")
+      .agg(slice(sort_array(collect_set(col("entity_id"))), 1, MaxCandidatesPerAlias).as("es"))
+      .where(size(col("es")) > 1)
+      .select(explode(expr(
+        "flatten(transform(es, (x, i) -> transform(slice(es, i + 2, size(es)), " +
+          "y -> struct(x as src, y as dst))))")).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .distinct()
 
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src").as("u"), col("dst").as("v"))

@@ -208,6 +208,19 @@ object Eval {
     (pred, gold, model)
   }
 
+  /** Distributed detect over the eval slice only (no GoldRef run) — the
+    * driver-gate queries (kg_mentions_slice, eval_layers, eval_nesting)
+    * compare this against the STAGED GoldRef mentions parquet (KgStage), so
+    * the distributed-vs-sequential equality is enforced by the DuckDB hash
+    * gate, not just by sbt specs.
+    */
+  def slicePred(spark: SparkSession, sfDir: String,
+                cfg: ModelConfig = ModelConfig()): DataFrame = {
+    val docs = DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    val model = Mentions.buildModel(docs, cfg)
+    Mentions.detect(docs, spark.sparkContext.broadcast(model)).toDF()
+  }
+
   /** E3 (`trainer.py:150-181`): infer → decode → span-set compare → report. */
   def spanPrf(spark: SparkSession, sfDir: String): DataFrame = {
     val (pred, gold, _) = evalSlice(spark, sfDir)

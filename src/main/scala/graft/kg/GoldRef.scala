@@ -103,11 +103,11 @@ object GoldRef {
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
     rows.groupBy(_.alias).values.foreach { rs =>
-      val es = rs.map(_.entity_id).distinct
-      if (es.length > 1) union(es.min, es.max)
+      val es = rs.map(_.entity_id).distinct.sorted.take(Canonical.MaxCandidatesPerAlias)
+      if (es.length > 1) es.tail.foreach(e => union(es.head, e))
     }
     val nodes = rows.groupBy(_.alias).values.flatMap { rs =>
-      val es = rs.map(_.entity_id).distinct
+      val es = rs.map(_.entity_id).distinct.sorted.take(Canonical.MaxCandidatesPerAlias)
       if (es.length > 1) es else Nil
     }.toSet
     nodes.iterator.map(n => n -> find(n)).toMap

@@ -1,0 +1,82 @@
+package graft.kg
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.ModelConfig
+import graft.sources.ReaderStage
+
+/** Staged KG-side fixtures for the driver's DuckDB value-oracles.
+  *
+  * The neural/derived KG surface (docs table, alias dictionary, mentions) is
+  * not SQL-derivable from `documents.parquet` alone (the derivations hash via
+  * Rng.streamKey / run pyramid inference), so the SEQUENTIAL re-derivations
+  * are staged to parquet and the oracle SQL reads them:
+  *
+  *   kg/docs_spans.parquet     exploded interleaved spans, derived DRIVER-SIDE
+  *                             doc-by-doc — the distributed DocGen/kg_docs query
+  *                             must hash-match it (distributed == sequential)
+  *   kg/gold_mentions.parquet  GoldRef.mentions over the eval slice — the
+  *                             independent loops-only re-derivation; the
+  *                             distributed detect over the same slice must
+  *                             hash-match it (the P=R=1.0 spec, now enforced
+  *                             by the driver gate too)
+  *
+  * Idempotent per corpus signature (same scheme as ReaderStage); staged under
+  * `ReaderStage.stageDir(sfDir)/kg` so the oracle SQL shares one root.
+  */
+object KgStage {
+
+  /** bump when the staged derivation changes — part of the signature so old
+    * stage dirs regenerate
+    */
+  val Version = "kg-v1"
+
+  def stageDir(sfDir: String): Path = ReaderStage.stageDir(sfDir).resolve("kg")
+
+  private def signature(docs: Seq[(Long, String)]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.update(Version.getBytes(StandardCharsets.UTF_8))
+    docs.foreach { case (id, text) =>
+      d.update(java.nio.ByteBuffer.allocate(8).putLong(id).array())
+      d.update(text.getBytes(StandardCharsets.UTF_8))
+    }
+    GoldRef.bytesToHex(d.digest())
+  }
+
+  def stage(spark: SparkSession, sfDir: String): Path = synchronized {
+    val dir = stageDir(sfDir)
+    Files.createDirectories(dir)
+    val docs = ReaderStage.baseDocs(spark, sfDir)
+    val sig = signature(docs)
+    val marker = dir.resolve("_STAGED")
+    if (Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == sig) return dir
+    import spark.implicits._
+
+    // --- docs_spans: sequential assemble, exploded
+    val spanRows = docs.flatMap { case (id, text) =>
+      val d = DocGen.assemble(DocGen.docIdOf(id), text)
+      d.spans.map(s => (d.doc_id, s.kind, s.text, s.media_ref, s.offset))
+    }
+    spark.createDataset(spanRows)
+      .toDF("doc_id", "kind", "text", "media_ref", "offset")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("docs_spans.parquet").toString)
+
+    // --- gold_mentions: GoldRef over the eval slice (first EvalSliceDocs by
+    //     doc_id), model built on the slice exactly like Eval.evalSlice
+    val slice = docs.sortBy(_._1).take(Eval.EvalSliceDocs)
+      .map { case (id, text) => DocGen.assemble(DocGen.docIdOf(id), text) }
+    val model = Mentions.buildModel(spark.createDataset(slice), ModelConfig())
+    val gold = GoldRef.mentions(slice, model)
+    spark.createDataset(gold).toDF()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("gold_mentions.parquet").toString)
+
+    Files.write(marker, sig.getBytes(StandardCharsets.UTF_8))
+    dir
+  }
+}

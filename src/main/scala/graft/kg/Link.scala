@@ -25,12 +25,17 @@ object Link {
 
   /** mentions (stage-1 output) → linked mentions. Inner join: unlinkable
     * mentions drop out here (NIL in KB terms).
+    *
+    * `useBroadcast = false` switches to a shuffle hash/sort-merge join for
+    * KB-scale dictionaries (10⁸ aliases would OOM the driver broadcast) —
+    * same escape hatch as Canonical.canonicalize.
     */
-  def link(mentions: DataFrame, dict: DataFrame): DataFrame = {
-    val best = bestCandidates(dict)
+  def link(mentions: DataFrame, dict: DataFrame, useBroadcast: Boolean = true): DataFrame = {
+    val best0 = bestCandidates(dict)
+    val best = if (useBroadcast) broadcast(best0) else best0
     mentions
       .withColumn("norm_text", lower(col("text")))
-      .join(broadcast(best), col("norm_text") === col("alias"), "inner")
+      .join(best, col("norm_text") === col("alias"), "inner")
       .select(
         mentions("doc_id"), mentions("mention_id"), mentions("kind"),
         mentions("text"), mentions("media_ref"), mentions("start_tok"),

@@ -22,6 +22,12 @@ object Dedup {
   val MinhashBands = 4         // 4 bands × 2 rows = 8 minhash functions
   val SimhashBits = 32
   val SimhashMaxHamming = 2 // tight: the tiny synthetic vocab makes signatures cluster
+  /** max docs per (band, byte) bucket — buckets larger than this are skipped
+    * (standard LSH hot-bucket cap; same motive as MaxShingleDf). Signatures
+    * cluster on this synthetic vocab, and an uncapped bucket join is
+    * quadratic inside each hot bucket at scale.
+    */
+  val MaxSimhashBucket = 100
 
   def docsDf(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
@@ -77,10 +83,13 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = minhashSignatures(spark, sfDir)
-    val bands = (0 until MinhashBands).map(b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bucket")))
-    val all = bands.reduce(_ unionAll _)
+    // single posexplode projection — NOT a union of per-band selects: each
+    // union arm would recompute the whole shingle+minhash aggregation (no
+    // exchange reuse across differing projections; the AliasDict.build trap).
+    // The self-join sides shuffle on identical (band, bucket) exchanges, so
+    // ReuseExchange materializes the subtree once.
+    val all = sig.select(col("doc_id"), posexplode(array((0 until MinhashBands).map(b =>
+      md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)).as(Seq("band", "bucket")))
     all.as("a").join(all.as("b"), Seq("band", "bucket"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -93,13 +102,41 @@ object Dedup {
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     val exploded = docsDf(spark, sfDir)
       .select(col("doc_id"), explode(toks).as("tok"))
+    // ±1 bit vectors as a per-DISTINCT-token dimension, broadcast back onto
+    // the token stream: md5 + 32 substring compares run once per vocab word,
+    // not once per token instance (Zipf: vocab ≪ instances — this was a 10×
+    // CPU sink when evaluated per instance). The oracle SQL stays the
+    // per-instance formulation; the two are algebraically identical.
+    val dim = exploded.select("tok").distinct()
       .withColumn("h", md5(col("tok")))
-    val bitSums = (0 until SimhashBits).map(i =>
-      sum(when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$i"))
-    val summed = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("tok") +: (0 until SimhashBits).map(i =>
+        when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(-1).as(s"b$i")): _*)
+    val bitSums = (0 until SimhashBits).map(i => sum(col(s"b$i")).as(s"s$i"))
+    val summed = exploded.join(broadcast(dim), "tok")
+      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val hash = (0 until SimhashBits)
       .map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_ + _)
+    summed.select(col("doc_id"), hash.as("simhash"))
+  }
+
+  /** Production-oriented 64-bit SimHash: one xxhash64 per token, bits sliced
+    * from the integer — no hex strings anywhere. Not DuckDB-expressible
+    * (xxhash64 is Spark-side), so the driver oracle rides [[simhash]]'s
+    * md5 construction; OpsSpec pins this variant's structural properties
+    * (band containment of identical docs) instead.
+    */
+  def simhash64(spark: SparkSession, sfDir: String): DataFrame = {
+    val bits = 64
+    val exploded = docsDf(spark, sfDir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until bits).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i"))
+    val summed = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until bits)
+      .map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
     summed.select(col("doc_id"), hash.as("simhash"))
   }
 
@@ -107,16 +144,27 @@ object Dedup {
     * byte of the signature, then exact Hamming ≤ max.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simhash(spark, sfDir).cache()
-    val bands = (0 until SimhashBits / 8).map(k =>
-      sig.select(col("doc_id"), col("simhash"), lit(k).as("band"),
-        shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as("byte")))
-      .reduce(_ unionAll _)
-    bands.as("a").join(bands.as("b"), Seq("band", "byte"))
+    // one posexplode projection (no union fan-out), cached: it feeds the
+    // hot-bucket count and both self-join sides
+    val bands = simhash(spark, sfDir)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimhashBits / 8).map(k =>
+          shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band", "byte")))
+      .cache()
+    // skip overfull buckets: clustered signatures pile into a few byte-band
+    // buckets and the pair join squares inside each — the cap bounds per-
+    // bucket work at MaxSimhashBucket² regardless of corpus size
+    val hot = bands.groupBy("band", "byte").agg(count(lit(1)).as("n"))
+      .where(col("n") > MaxSimhashBucket).select("band", "byte")
+    val capped = bands.join(broadcast(hot), Seq("band", "byte"), "left_anti")
+    capped.as("a").join(capped.as("b"), Seq("band", "byte"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the distinct: candidates are pruned where they
+      // are produced instead of paying the dedup shuffle first
       .where(col("hamming") <= SimhashMaxHamming)
+      .distinct()
   }
 }

@@ -124,7 +124,12 @@ object Streaming {
         }
         if (cur != null) {
           state.update(cur)
-          state.setTimeoutTimestamp((cur.end + SessionGapSec) * 1000)
+          // a group whose latest event is LATE can have a desired timeout
+          // behind the current watermark — Spark throws on that; clamp to
+          // just past the watermark so the session times out on the next
+          // watermark advance instead of failing the query
+          val desired = (cur.end + SessionGapSec) * 1000
+          state.setTimeoutTimestamp(math.max(desired, state.getCurrentWatermarkMs + 1))
         }
       }
       out.result().iterator

@@ -141,7 +141,13 @@ object ReaderStage {
     */
   val WrgFiles = 4
 
-  def wrgRecords(docs: Seq[(Long, String)]): Seq[(Int, String)] =
+  /** Structured wrg record as the stager intends the readers to parse it:
+    * shard, single-space text, token count, surviving tags as INCLUSIVE
+    * token spans.
+    */
+  final case class WrgStageRec(shard: Int, text: String, nToks: Int, tags: Seq[(Int, Int, String)])
+
+  def wrgStructured(docs: Seq[(Long, String)]): Seq[WrgStageRec] =
     docs.map { case (id, raw) =>
       val toks = Tok.tokenize(sanitize(raw))
       val text = toks.mkString(" ")
@@ -149,11 +155,71 @@ object ReaderStage {
       val tags = entities(text).flatMap { e =>
         val s = offs.indexWhere(_.start == e.start)
         val t = offs.indexWhere(_.end == e.end)
-        if (s >= 0 && t >= s) Some(s"$s,$t ${e.kind}") else None
+        if (s >= 0 && t >= s) Some((s, t, e.kind)) else None
       }
-      val pos = toks.map(_ => "X").mkString(" ")
-      ((id % WrgFiles).toInt, s"$text\n$pos\n${tags.mkString("|")}\n")
+      WrgStageRec((id % WrgFiles).toInt, text, toks.length, tags)
     }
+
+  def wrgRecords(docs: Seq[(Long, String)]): Seq[(Int, String)] =
+    wrgStructured(docs).map { r =>
+      val pos = Seq.fill(r.nToks)("X").mkString(" ")
+      val tags = r.tags.map { case (s, t, kind) => s"$s,$t $kind" }
+      (r.shard, s"${r.text}\n$pos\n${tags.mkString("|")}\n")
+    }
+
+  // ------------------------------------------------------ wrg mirror JSONLs
+  //
+  // The wrg TEXT format is not SQL-parseable, but the PARSED relations are —
+  // the stager emits, next to the wrg files, JSONL mirrors of exactly the
+  // rows the src_wrg* queries must produce; the DuckDB oracle reads the
+  // mirror and the driver hash-compares it with the distributed parse.
+  // `idx` counts PARSED records (blank-text records hold their 4-line slot in
+  // the file but yield no row — parser contract, data.py:110).
+
+  /** per-shard parsed records in file order */
+  private def parsedByShard(docs: Seq[(Long, String)]): Seq[(String, Seq[WrgStageRec])] =
+    wrgStructured(docs).groupBy(_.shard).toSeq.sortBy(_._1)
+      .map { case (shard, recs) => (s"part-$shard.wrg", recs.filter(_.text.nonEmpty)) }
+
+  def wrgExpectJsonl(docs: Seq[(Long, String)]): String =
+    parsedByShard(docs).flatMap { case (file, recs) =>
+      recs.zipWithIndex.flatMap { case (r, idx) =>
+        val offs = Tok.tokenizeWithOffsets(r.text)
+        val head = s"""{"file":${jstr(file)},"idx":$idx,"text":${jstr(r.text)}"""
+        if (r.tags.isEmpty)
+          Seq(s"""$head,"kind":null,"value":null,"start_c":null,"end_c":null}""")
+        else r.tags.map { case (s, t, kind) =>
+          val sc = offs(s).start
+          val ec = offs(t).end
+          s"""$head,"kind":${jstr(kind)},"value":${jstr(r.text.substring(sc, ec))},"start_c":$sc,"end_c":$ec}"""
+        }
+      }
+    }.mkString("", "\n", "\n")
+
+  def wrgSwinExpectJsonl(docs: Seq[(Long, String)], windowSize: Int = 3): String =
+    parsedByShard(docs).flatMap { case (file, recs) =>
+      recs.zipWithIndex.map { case (r, i) =>
+        val pre = recs.slice(math.max(0, i - windowSize), i).map(_.text)
+        val post = recs.slice(i + 1, i + 1 + windowSize).map(_.text)
+        s"""{"file":${jstr(file)},"idx":$i,"text":${jstr(r.text)}""" +
+          s""","n_pre":${pre.length},"n_post":${post.length}""" +
+          s""","prev_text":${jstr(pre.lastOption.getOrElse(""))}""" +
+          s""","next_text":${jstr(post.headOption.getOrElse(""))}}"""
+      }
+    }.mkString("", "\n", "\n")
+
+  def wrgTwinExpectJsonl(docs: Seq[(Long, String)], windowSize: Int = 16): String =
+    parsedByShard(docs).flatMap { case (file, recs) =>
+      val toks = recs.map(_.text.split(" ").toSeq)
+      recs.zipWithIndex.map { case (r, i) =>
+        val preCtx = toks.slice(math.max(0, i - windowSize), i).flatten
+          .takeRight(windowSize).mkString(" ")
+        val postCtx = toks.slice(i + 1, i + 1 + windowSize).flatten
+          .take(windowSize).mkString(" ")
+        s"""{"file":${jstr(file)},"idx":$i,"text":${jstr(r.text)}""" +
+          s""","pre_ctx":${jstr(preCtx)},"post_ctx":${jstr(postCtx)}}"""
+      }
+    }.mkString("", "\n", "\n")
 
   // --------------------------------------------------------------- vectors
 
@@ -201,8 +267,15 @@ object ReaderStage {
     * lets a re-stage over unchanged input skip generation entirely (each
     * src_* query calls stage()).
     */
+  /** bump when the staged derivation or the staged file set changes — the
+    * signature otherwise hashes only the INPUT corpus, and an old stage dir
+    * would silently short-circuit the new outputs
+    */
+  val StageVersion = "stage-v2"
+
   private def signature(docs: Seq[(Long, String)]): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
+    d.update(StageVersion.getBytes(StandardCharsets.UTF_8))
     docs.foreach { case (id, text) =>
       d.update(java.nio.ByteBuffer.allocate(8).putLong(id).array())
       d.update(text.getBytes(StandardCharsets.UTF_8))
@@ -229,6 +302,9 @@ object ReaderStage {
       writeIfChanged(dir.resolve(s"wrg/part-$shard.wrg"),
         recs.map(_._2).mkString("\n") + "\n")
     }
+    writeIfChanged(dir.resolve("wrg_expect.jsonl"), wrgExpectJsonl(docs))
+    writeIfChanged(dir.resolve("wrg_swin_expect.jsonl"), wrgSwinExpectJsonl(docs))
+    writeIfChanged(dir.resolve("wrg_twin_expect.jsonl"), wrgTwinExpectJsonl(docs))
     writeIfChanged(marker, sig)
     dir
   }

@@ -36,10 +36,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
-        name = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+    def connect():
+        # fresh connection per oracle query: a fatal DuckDB error (e.g. a
+        # binder INTERNAL error) invalidates the connection and would cascade
+        # into every later query
+        con = duckdb.connect()
+        for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            name = os.path.basename(p)[:-len(".parquet")]
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        return con
+
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
     n_pass = n_fail = 0
@@ -60,7 +67,9 @@ def main():
             n_fail += not ok
             continue
         try:
+            con = connect()
             want = con.execute(oracle[name]).df()
+            con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
