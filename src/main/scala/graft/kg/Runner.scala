@@ -36,11 +36,35 @@ object KgRunner {
     val out = Paths.get(outDir)
     Files.createDirectories(out.resolve("manifest"))
 
+    // ---- run-level manifest: the bucket count is a property of the RUN, not
+    // of the resume invocation — docs are materialized under the first run's
+    // bucketing, so a resume with a different `buckets` would read
+    // nonexistent bucket dirs (larger) or silently skip committed high
+    // buckets while still counting their stale output (smaller). The
+    // recorded value wins on resume.
+    val runManifest = out.resolve("run.json")
+    val effBuckets =
+      if (Files.exists(runManifest)) {
+        val rec = """"buckets"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(Files.readString(runManifest))
+          .map(_.group(1).toInt)
+          .getOrElse(throw new IllegalStateException(s"unreadable run manifest $runManifest"))
+        if (rec != buckets)
+          System.err.println(s"[kgrunner] resume: using recorded buckets=$rec (caller passed $buckets)")
+        rec
+      } else {
+        val tmp = out.resolve(".tmp-run.json")
+        Files.writeString(tmp, s"""{"buckets":$buckets,"sf_dir":"$sfDir"}""")
+        Files.move(tmp, runManifest, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        buckets
+      }
+
     // ---- stage 0: bucketed docs materialization (once; partition-pruned reads)
     val docsDir = out.resolve("docs")
     if (!Files.exists(docsDir.resolve("_SUCCESS"))) {
       DocGen.docs(spark, sfDir).toDF()
-        .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(buckets)))
+        .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(effBuckets)))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(docsDir.toString)
     }
     val allDocs = spark.read.parquet(docsDir.toString)
@@ -66,7 +90,7 @@ object KgRunner {
     val done = committedBuckets(out)
     val processed = scala.collection.mutable.ArrayBuffer.empty[BucketResult]
     var i = 0
-    (0 until buckets).foreach { b =>
+    (0 until effBuckets).foreach { b =>
       if (!done.contains(b)) {
         failAfter.foreach(k => if (i >= k) throw new InjectedKill(b))
         val t0 = System.nanoTime()

@@ -69,7 +69,17 @@ object Similarity {
   // ------------------------------------------------------------------ IVF
 
   val IvfClusters = 32
-  val IvfProbes = 8
+  /** measured on the sf0.01 corpus (10 planted label clusters → weak
+    * fine-grained neighbor structure): probes=10 × rep=2 is the knee of the
+    * recall curve — recall@10 ≈ 0.85 vs brute force at ~60% effective scan;
+    * single-assignment needed probes=16 (50% scan) for 0.84
+    */
+  val IvfProbes = 10
+  /** each vector is indexed under its top-`IvfAssignRep` cells (standard IVF
+    * replication / multi-assignment): boundary vectors — where recall dies —
+    * become reachable from both adjacent probes at 2× index storage
+    */
+  val IvfAssignRep = 2
   val KmeansIters = 8
 
   /** 32 cosine scores against broadcast centroid literals, as one codegen'd
@@ -124,10 +134,11 @@ object Similarity {
     val e = embDf(spark, sfDir)
     val cents = kmeansCentroids(spark, sfDir)
     val scored = e.withColumn("scores", centroidScores(col("embedding"), cents))
-    // natural struct ordering: max by (score, then cluster id) — deterministic
+    // natural struct ordering: sort by (score, then cluster id) — deterministic
     val assigned = scored
-      .withColumn("cluster", expr("array_max(scores).k"))
-      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .select(col("vec_id"), col("embedding"),
+        explode(expr(s"slice(reverse(array_sort(scores)), 1, $IvfAssignRep)")).as("a"))
+      .select(col("vec_id"), col("embedding"), col("a.k").as("cluster"))
     val probes = scored.where(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         explode(expr(s"slice(reverse(array_sort(scores)), 1, $IvfProbes)")).as("p"))
@@ -136,6 +147,7 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(Fns.cosine_sim(col("q"), col("embedding")), 6).as("cosine"))
+      .distinct() // a replicated vector can surface via both of its cells
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
   }

@@ -108,4 +108,43 @@ class KgPipelineSpec extends AnyFunSuite {
       assert(cc("zz1") == "zz0" && cc("zz0") == "zz0", s"threshold=$threshold")
     }
   }
+
+  test("edgesFromDict connects ALL candidates of a multi-candidate alias") {
+    import spark.implicits._
+    // an alias with 3 candidates must form ONE component — the old
+    // (min, max)-only derivation would silently drop E2 from it
+    val dict = Seq(
+      ("shared", "E1", "protein", 0.9),
+      ("shared", "E2", "DNA", 0.5),
+      ("shared", "E3", "RNA", 0.4),
+      ("other", "E9", "RNA", 0.7) // single-candidate: no edges
+    ).toDF("alias", "entity_id", "kind", "prior")
+    val edges = Canonical.edgesFromDict(dict).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges == Set(("E1", "E2"), ("E1", "E3"), ("E2", "E3")))
+    val cc = Canonical.connectedComponents(Canonical.edgesFromDict(dict)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("E1" -> "E1", "E2" -> "E1", "E3" -> "E1"))
+  }
+
+  test("link with broadcast disabled produces identical output") {
+    val docs = DocGen.docs(spark, sfDir)
+    val bc = spark.sparkContext.broadcast(model)
+    val mentions = Mentions.detect(docs, bc).toDF()
+    val dict = AliasDict.build(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rows(Link.link(mentions, dict, useBroadcast = true)) ==
+      rows(Link.link(mentions, dict, useBroadcast = false)))
+  }
+
+  test("simhash64 production variant: identical docs collide, bits are stable") {
+    val sig = graft.ops.Dedup.simhash64(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // one signature per doc, and equal-text docs get equal signatures
+    assert(sig.count() == docs.count())
+    val byText = docs.join(sig, "doc_id")
+      .groupBy("text").agg(org.apache.spark.sql.functions.countDistinct("simhash").as("n"))
+    assert(byText.filter(org.apache.spark.sql.functions.col("n") > 1).count() == 0)
+  }
 }

@@ -58,4 +58,19 @@ class KgRunnerSpec extends AnyFunSuite {
     val again = KgRunner.run(spark, sfDir, out, buckets = 4)
     assert(again.processed.isEmpty && again.skipped.size == 4)
   }
+
+  test("resume with a changed buckets argument uses the recorded run manifest") {
+    val out = Files.createTempDirectory("graft_runner_buckets").toString
+    intercept[KgRunner.InjectedKill] {
+      KgRunner.run(spark, sfDir, out, buckets = 4, failAfter = Some(2))
+    }
+    // caller now passes a DIFFERENT bucket count (the RunnerMain-default-32
+    // vs recipe-8 trap): the recorded run.json must win — resume completes
+    // the remaining 2 of the original 4 buckets, not 32
+    val resumed = KgRunner.run(spark, sfDir, out, buckets = 32)
+    assert(resumed.skipped.size == 2 && resumed.processed.size == 2)
+    val got = tripleSet(KgRunner.triples(spark, out).select("subj", "pred", "obj").distinct())
+    val want = tripleSet(Triples.pipeline(spark, sfDir).select("subj", "pred", "obj").distinct())
+    assert(got == want)
+  }
 }

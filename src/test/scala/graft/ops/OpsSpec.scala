@@ -122,6 +122,16 @@ class OpsSpec extends AnyFunSuite {
     val hit = ivf.intersect(exact).size.toDouble / exact.size
     info(f"IVF recall@10 = $hit%.3f")
     assert(hit > 0.2, s"IVF recall vs exact top-10 = $hit")
+    // the real recall gate runs on the 500-vector corpus (sf0.01), where the
+    // measured k-means ceiling is ~0.85 for probes=10 × rep=2
+    val sf01 = "/root/testdata/sf0.01"
+    val exact01 = Similarity.cosineTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf01 = Similarity.annIvf(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rec01 = ivf01.intersect(exact01).size.toDouble / exact01.size
+    info(f"IVF recall@10 (sf0.01) = $rec01%.3f")
+    assert(rec01 >= 0.8, s"IVF recall@10 at sf0.01 = $rec01 (need >= 0.8)")
     // every vector lands in exactly one cluster (the inverted-list partition)
     val e = Similarity.embDf(spark, sfDir)
     assert(Similarity.annIvf(spark, sfDir).select("query_id").distinct().count() ==
