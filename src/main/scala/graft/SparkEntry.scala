@@ -52,6 +52,27 @@ object SparkEntry {
       val _ = KgStage.stage(s, dir)
       Eval.slicePred(s, dir)
     }),
+    // N14: LM-embedding variant — precomputed lm parquet joined into the
+    // encoder; gold is the sequential run with the same staged table
+    "kg_mentions_lm" -> ((s, dir) => Eval.sliceLmPred(s, dir)),
+    // variant decoders, linking, and the FLAGSHIP pipeline over the slice —
+    // all hash-checked against staged sequential gold
+    "kg_mentions_bidir_slice" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      Eval.sliceVariantPred(s, dir, "bidirectional")
+    }),
+    "kg_mentions_ml_slice" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      Eval.sliceVariantPred(s, dir, "multilabel")
+    }),
+    "kg_linked_slice" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      Eval.sliceLinked(s, dir)
+    }),
+    "kg_triples_slice" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      Eval.sliceTriples(s, dir)
+    }),
     "kg_mentions" -> ((s, dir) => {
       val bc = s.sparkContext.broadcast(model(s, dir))
       Mentions.detect(DocGen.docs(s, dir), bc).toDF()
@@ -589,6 +610,22 @@ object SparkEntry {
     "kg_mentions_slice" ->
       s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
          |FROM read_parquet('$KgPath/gold_mentions.parquet/*.parquet')""".stripMargin,
+    "kg_mentions_lm" ->
+      s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
+         |FROM read_parquet('$KgPath/gold_lm_mentions.parquet/*.parquet')""".stripMargin,
+    "kg_mentions_bidir_slice" ->
+      s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
+         |FROM read_parquet('$KgPath/gold_bidir_mentions.parquet/*.parquet')""".stripMargin,
+    "kg_mentions_ml_slice" ->
+      s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
+         |FROM read_parquet('$KgPath/gold_ml_mentions.parquet/*.parquet')""".stripMargin,
+    "kg_linked_slice" ->
+      s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order",
+         |  entity_id, dict_kind, prior
+         |FROM read_parquet('$KgPath/gold_linked.parquet/*.parquet')""".stripMargin,
+    "kg_triples_slice" ->
+      s"""SELECT subj, pred, obj
+         |FROM read_parquet('$KgPath/gold_triples.parquet/*.parquet')""".stripMargin,
     "kg_dict" -> s"WITH $dictCtes\nSELECT alias, entity_id, kind, prior FROM dict",
     "kg_canonical_map" -> canonicalSql,
     "eval_layers" ->

@@ -139,6 +139,26 @@ final class PyramidInference(w: PyramidWeights, vocab: WordVocab) {
     charOut = new Array[Float](charCap * 2 * charH)
   }
 
+  /** char-BiLSTM word vector ++ word embedding for one token, written at
+    * `dst(off)` (charDim + wordDim floats) — reference concat order:
+    * torch.cat((char, word), -1), sentence_encoder.py:63-66; char vector =
+    * fwd last state ++ bwd output at t=0 (char_embedding.py:55-70).
+    */
+  private def fillCharWord(tok: String, dst: Array[Float], off: Int): Unit = {
+    val L = math.max(tok.length, 1)
+    ensureChar(L)
+    var i = 0
+    while (i < L) {
+      val cid = if (i < tok.length) CharVocab.id(tok.charAt(i)) else CharVocab.padId
+      System.arraycopy(w.charEmb, cid * charH, charBuf, i * charH, charH)
+      i += 1
+    }
+    w.charLstm.run(charBuf, 0, L, charOut, 0, hS, cS, gS)
+    System.arraycopy(charOut, (L - 1) * 2 * charH, dst, off, charH)
+    System.arraycopy(charOut, charH, dst, off + charH, charH)
+    System.arraycopy(w.wordEmb, vocab.id(tok) * cfg.wordDim, dst, off + cfg.charDim, cfg.wordDim)
+  }
+
   /** Encoder (steps 1-2): char-BiLSTM ⊕ word-emb → enc BiLSTM → dense; fills
     * `cur` with S × D features. Shared by the single-label forward and the
     * variant decoders ([[PyramidVariants]]).
@@ -147,27 +167,9 @@ final class PyramidInference(w: PyramidWeights, vocab: WordVocab) {
     val S = tokens.length
     ensure(S)
     val inDim = cfg.charDim + cfg.wordDim
-    // 1. char-BiLSTM word vectors + word embeddings; x = [char ++ word]
-    //    (reference concat order: torch.cat((char, word), -1),
-    //     sentence_encoder.py:63-66)
     var t = 0
     while (t < S) {
-      val tok = tokens(t)
-      val L = math.max(tok.length, 1)
-      ensureChar(L)
-      var i = 0
-      while (i < L) {
-        val cid = if (i < tok.length) CharVocab.id(tok.charAt(i)) else CharVocab.padId
-        System.arraycopy(w.charEmb, cid * charH, charBuf, i * charH, charH)
-        i += 1
-      }
-      w.charLstm.run(charBuf, 0, L, charOut, 0, hS, cS, gS)
-      val base = t * inDim
-      // fwd last state ++ bwd output at t=0 (char_embedding.py:55-70)
-      System.arraycopy(charOut, (L - 1) * 2 * charH, xIn, base, charH)
-      System.arraycopy(charOut, charH, xIn, base + charH, charH)
-      val wid = vocab.id(tok)
-      System.arraycopy(w.wordEmb, wid * cfg.wordDim, xIn, base + cfg.charDim, cfg.wordDim)
+      fillCharWord(tokens(t), xIn, t * inDim)
       t += 1
     }
     // 2. sentence encoder: BiLSTM → dense
@@ -179,13 +181,55 @@ final class PyramidInference(w: PyramidWeights, vocab: WordVocab) {
     }
   }
 
+  /** Extended encoder (N14, ref `transformer_embeddings.py:8-132`): an extra
+    * per-token feature block (e.g. precomputed LM embeddings) is concatenated
+    * AFTER char ++ word, and a variant-seeded sentence BiLSTM sized for the
+    * wider input replaces `encLstm`; the dense projection and the whole
+    * pyramid above are unchanged. `extra` is S × extraDim row-major (zeros
+    * where no embedding was joined). Local buffers: variant path, not the
+    * scratch-reusing hot default.
+    */
+  private[core] def encodeExt(tokens: Array[String], extra: Array[Float],
+                              extraDim: Int, encExt: BiLstm): Unit = {
+    val S = tokens.length
+    ensure(S)
+    val inDim = cfg.charDim + cfg.wordDim + extraDim
+    val xEx = new Array[Float](S * inDim)
+    var t = 0
+    while (t < S) {
+      fillCharWord(tokens(t), xEx, t * inDim)
+      System.arraycopy(extra, t * extraDim, xEx, t * inDim + cfg.charDim + cfg.wordDim, extraDim)
+      t += 1
+    }
+    val encHL = new Array[Float](S * 2 * cfg.encHidden)
+    encExt.run(xEx, 0, S, encHL, 0, hS, cS, gS)
+    t = 0
+    while (t < S) {
+      Nn.dense(w.encDenseW, w.encDenseB, 2 * cfg.encHidden, D, encHL, t * 2 * cfg.encHidden, cur, t * D)
+      t += 1
+    }
+  }
+
   /** Forward pass for one document's tokens. */
   def forward(tokens: Array[String]): PyramidNetOut = {
     val S = tokens.length
     if (S == 0) return PyramidNetOut(IndexedSeq.empty, None)
     encode(tokens)
+    pyramidDecode(S)
+  }
+
+  /** N14 forward: extended encoder, identical pyramid + heads. */
+  private[core] def forwardExt(tokens: Array[String], extra: Array[Float],
+                               extraDim: Int, encExt: BiLstm): PyramidNetOut = {
+    val S = tokens.length
+    if (S == 0) return PyramidNetOut(IndexedSeq.empty, None)
+    encodeExt(tokens, extra, extraDim, encExt)
+    pyramidDecode(S)
+  }
+
+  /** Pyramid layers + heads over the encoded `cur` features (step 3). */
+  private def pyramidDecode(S: Int): PyramidNetOut = {
     var t = 0
-    // 3. pyramid layers
     val C1 = w.numClasses
     val C = C1 - 1
     val layerIds = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]

@@ -32,7 +32,9 @@ final class VariantWeights(
     val mlHeadW: Array[Float], val mlHeadB: Array[Float],         // C × D
     val mlRemedyW: Array[Float], val mlRemedyB: Array[Float],     // 2C × D
     val ctxHeadW: Array[Float], val ctxHeadB: Array[Float],       // C × (D + Dc)
-    val ctxRemedyW: Array[Float], val ctxRemedyB: Array[Float]    // 2C × (D + Dc)
+    val ctxRemedyW: Array[Float], val ctxRemedyB: Array[Float],   // 2C × (D + Dc)
+    val docLstm: BiLstm,   // N13 doc-RNN context encoder: wordDim → ctxDim/2 per dir
+    val lmEncLstm: BiLstm  // N14 sentence encoder over char ⊕ word ⊕ LM input
 ) extends Serializable {
   val ctxDim: Int = 3 * cfg.wordDim
 }
@@ -44,6 +46,21 @@ object VariantWeights {
     * bidirectional heads reuse the base oBias/remedyBias calibration.
     */
   val MlBias: Float = -0.6f
+
+  /** Dim of the precomputed per-token LM embedding column (N14). A real LM
+    * pipeline sets this to the LM hidden size; the staged deterministic
+    * stand-in keeps it small.
+    */
+  val LmDim: Int = 16
+
+  private def lstm(seed: Long, name: String, inDim: Int, hidden: Int): LstmCell =
+    new LstmCell(inDim, hidden,
+      Rng.xavier(seed, s"$name.wIh", 4 * hidden, inDim),
+      Rng.xavier(seed, s"$name.wHh", 4 * hidden, hidden),
+      Rng.zeros(4 * hidden), Rng.zeros(4 * hidden))
+
+  private def bilstm(seed: Long, name: String, inDim: Int, hidden: Int): BiLstm =
+    new BiLstm(lstm(seed, s"$name.fwd", inDim, hidden), lstm(seed, s"$name.bwd", inDim, hidden))
 
   def build(seed: Long, cfg: ModelConfig, numKinds: Int,
             mlBias: Float = MlBias): VariantWeights = {
@@ -60,7 +77,12 @@ object VariantWeights {
       Rng.xavier(seed, "mlHead", C, D), Array.fill(C)(mlBias),
       Rng.xavier(seed, "mlRemedy", 2 * C, D), Array.fill(2 * C)(mlBias),
       Rng.xavier(seed, "ctxHead", C, D + dc), Array.fill(C)(mlBias),
-      Rng.xavier(seed, "ctxRemedy", 2 * C, D + dc), Array.fill(2 * C)(mlBias))
+      Rng.xavier(seed, "ctxRemedy", 2 * C, D + dc), Array.fill(2 * C)(mlBias),
+      // doc-RNN: hidden = dc/2 per direction so fwd-last ++ bwd-first lands
+      // exactly in the ctxDim slot the ctx heads expect (context encoders are
+      // pluggable behind one output dim, document_embeddings.py:14-336)
+      bilstm(seed, "docLstm", cfg.wordDim, dc / 2),
+      bilstm(seed, "lmEncLstm", cfg.charDim + cfg.wordDim + LmDim, cfg.encHidden))
   }
 }
 
@@ -258,5 +280,57 @@ final class PyramidVariantInference(base: PyramidInference, vw: VariantWeights) 
                        postTokens: Array[String], codec: LabelCodec): IndexedSeq[TokSpan] = {
     val (layers, remedy) = multiForward(tokens, contextVector(preTokens, postTokens))
     codec.decodeMulti(layers, remedy, cfg.maxDepth)
+  }
+
+  // ------------------------------------------------------------------ N13
+
+  private val ctxH = vw.ctxDim / 2
+  private lazy val ctxHS = new Array[Float](ctxH)
+  private lazy val ctxCS = new Array[Float](ctxH)
+  private lazy val ctxGS = new Array[Float](4 * ctxH)
+
+  /** Doc-RNN context encoder (N13, `contextual_encoder.py:10-181` /
+    * `document_embeddings.py:14-336` doc-RNN variant): a seeded BiLSTM runs
+    * over the context tokens' word embeddings; the context vector is
+    * fwd-last ++ bwd-first — same output dim as the pooled encoder, so the
+    * ctx heads serve both (the encoders are pluggable behind one dim).
+    * Empty context → zero vector, matching the pooled variant.
+    */
+  def contextVectorRnn(preTokens: Array[String], postTokens: Array[String]): Array[Float] = {
+    val out = new Array[Float](vw.ctxDim)
+    val n = preTokens.length + postTokens.length
+    if (n == 0) return out
+    val dW = cfg.wordDim
+    val emb = new Array[Float](n * dW)
+    var i = 0
+    (preTokens.iterator ++ postTokens.iterator).foreach { tok =>
+      base.wordVec(tok, emb, i * dW)
+      i += 1
+    }
+    val rnn = new Array[Float](n * 2 * ctxH)
+    vw.docLstm.run(emb, 0, n, rnn, 0, ctxHS, ctxCS, ctxGS)
+    System.arraycopy(rnn, (n - 1) * 2 * ctxH, out, 0, ctxH)
+    System.arraycopy(rnn, ctxH, out, ctxH, ctxH)
+    out
+  }
+
+  def detectContextualRnn(tokens: Array[String], preTokens: Array[String],
+                          postTokens: Array[String], codec: LabelCodec): IndexedSeq[TokSpan] = {
+    val (layers, remedy) = multiForward(tokens, contextVectorRnn(preTokens, postTokens))
+    codec.decodeMulti(layers, remedy, cfg.maxDepth)
+  }
+
+  // ------------------------------------------------------------------ N14
+
+  /** LM-embedding detection (N14, `transformer_embeddings.py:8-132`): the
+    * precomputed per-token LM vectors (S × LmDim row-major, zeros where no
+    * embedding was joined) extend the encoder input; pyramid + argmax heads
+    * are the base model's.
+    */
+  def detectLm(tokens: Array[String], lm: Array[Float], codec: LabelCodec): IndexedSeq[TokSpan] = {
+    require(lm.length == tokens.length * VariantWeights.LmDim,
+      s"lm block ${lm.length} != ${tokens.length} tokens x ${VariantWeights.LmDim}")
+    val out = base.forwardExt(tokens, lm, VariantWeights.LmDim, vw.lmEncLstm)
+    codec.decodeSingle(out.layers, out.remedy, cfg.maxDepth)
   }
 }

@@ -221,6 +221,52 @@ object Eval {
     Mentions.detect(docs, spark.sparkContext.broadcast(model)).toDF()
   }
 
+  /** N14 over the eval slice: distributed LM-variant detect with the STAGED
+    * precomputed lm_embeddings.parquet joined in; the driver gate compares
+    * against the sequentially-derived gold_lm_mentions.parquet.
+    */
+  def sliceLmPred(spark: SparkSession, sfDir: String,
+                  cfg: ModelConfig = ModelConfig()): DataFrame = {
+    val stage = KgStage.stage(spark, sfDir)
+    val docs = DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    val model = Mentions.buildModel(docs, cfg)
+    val vw = graft.core.VariantWeights.build(Mentions.ModelSeed, cfg, Mentions.Kinds.length)
+    val lm = spark.read.parquet(s"$stage/lm_embeddings.parquet")
+    Mentions.detectLm(docs, lm,
+      spark.sparkContext.broadcast(model), spark.sparkContext.broadcast(vw)).toDF()
+  }
+
+  /** Variant detection (N6 "bidirectional" / N18 "multilabel") over the eval
+    * slice — compared by the driver gate against the staged sequential runs.
+    */
+  def sliceVariantPred(spark: SparkSession, sfDir: String, mode: String,
+                       cfg: ModelConfig = ModelConfig()): DataFrame = {
+    val docs = DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    val model = Mentions.buildModel(docs, cfg)
+    val vw = graft.core.VariantWeights.build(Mentions.ModelSeed, cfg, Mentions.Kinds.length)
+    Mentions.detectVariant(docs, spark.sparkContext.broadcast(model),
+      spark.sparkContext.broadcast(vw), mode).toDF()
+  }
+
+  /** Stage-2 linking over the eval slice (mentions ⋈ slice dict). */
+  def sliceLinked(spark: SparkSession, sfDir: String,
+                  cfg: ModelConfig = ModelConfig()): DataFrame = {
+    val docs = DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    val model = Mentions.buildModel(docs, cfg)
+    val mentions = Mentions.detect(docs, spark.sparkContext.broadcast(model)).toDF()
+    Link.link(mentions, AliasDict.build(docs))
+  }
+
+  /** Full pipeline over the eval slice — the flagship, driver-value-checked
+    * against GoldRef.triples.
+    */
+  def sliceTriples(spark: SparkSession, sfDir: String,
+                   cfg: ModelConfig = ModelConfig()): DataFrame = {
+    val docs = DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    Triples.pipelineFrom(docs, Mentions.buildModel(docs, cfg))
+      .select("subj", "pred", "obj")
+  }
+
   /** E3 (`trainer.py:150-181`): infer → decode → span-set compare → report. */
   def spanPrf(spark: SparkSession, sfDir: String): DataFrame = {
     val (pred, gold, _) = evalSlice(spark, sfDir)

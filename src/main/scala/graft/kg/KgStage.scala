@@ -32,7 +32,7 @@ object KgStage {
   /** bump when the staged derivation changes — part of the signature so old
     * stage dirs regenerate
     */
-  val Version = "kg-v1"
+  val Version = "kg-v3"
 
   def stageDir(sfDir: String): Path = ReaderStage.stageDir(sfDir).resolve("kg")
 
@@ -75,6 +75,66 @@ object KgStage {
     spark.createDataset(gold).toDF()
       .coalesce(1).write.mode("overwrite")
       .parquet(dir.resolve("gold_mentions.parquet").toString)
+
+    // --- lm_embeddings: the "precomputed LM output" table (N14) — one row
+    //     per (doc, token position) of the eval slice, deterministic
+    val lmRows = slice.flatMap { d =>
+      val toks = d.spans.filter(_.kind == "text").sortBy(_.offset).map(_.text)
+      toks.zipWithIndex.map { case (tok, p) => (d.doc_id, p, Mentions.lmVec(d.doc_id, p, tok)) }
+    }
+    spark.createDataset(lmRows).toDF("doc_id", "pos", "emb")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lm_embeddings.parquet").toString)
+
+    // --- gold_lm_mentions: sequential LM-variant detection over the slice
+    val vw = graft.core.VariantWeights.build(Mentions.ModelSeed, ModelConfig(),
+      Mentions.Kinds.length)
+    val inf = new graft.core.PyramidInference(model.weights, model.vocab)
+    val vi = new graft.core.PyramidVariantInference(inf, vw)
+    val dim = graft.core.VariantWeights.LmDim
+    val goldLm = slice.flatMap { d =>
+      Mentions.detectDocWith(d, { toks =>
+        val flat = new Array[Float](toks.length * dim)
+        toks.zipWithIndex.foreach { case (tok, p) =>
+          System.arraycopy(Mentions.lmVec(d.doc_id, p, tok), 0, flat, p * dim, dim)
+        }
+        vi.detectLm(toks, flat, model.codec)
+      })
+    }
+    spark.createDataset(goldLm).toDF()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("gold_lm_mentions.parquet").toString)
+
+    // --- gold variant mentions (N6 bidirectional, N18 multi-label) over the
+    //     slice — sequential runs of the same seeded variant nets
+    def writeMentions(name: String, ms: Seq[Mention]): Unit =
+      spark.createDataset(ms).toDF().coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve(name).toString)
+    writeMentions("gold_bidir_mentions.parquet", slice.flatMap(d =>
+      Mentions.detectDocWith(d, toks => vi.detectBidirectional(toks, model.codec))))
+    writeMentions("gold_ml_mentions.parquet", slice.flatMap(d =>
+      Mentions.detectDocWith(d, toks => vi.detectMultiLabel(toks, model.codec))))
+
+    // --- gold linked mentions: GoldRef best-candidate link over the slice
+    val dictRows = GoldRef.dict(slice)
+    val best = GoldRef.bestCandidates(dictRows)
+    val goldLinked = gold.flatMap { m =>
+      best.get(GoldRef.lower(m.text)).map(b =>
+        (m.doc_id, m.mention_id, m.kind, m.text, m.media_ref, m.start_tok, m.len,
+          m.order, b.entityId, b.kind, b.prior))
+    }
+    spark.createDataset(goldLinked)
+      .toDF("doc_id", "mention_id", "kind", "text", "media_ref", "start_tok", "len",
+        "order", "entity_id", "dict_kind", "prior")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("gold_linked.parquet").toString)
+
+    // --- gold triples: the full sequential pipeline over the slice — makes
+    //     the FLAGSHIP distributed pipeline driver-value-checked end-to-end
+    val goldTriples = GoldRef.triples(slice, model).toSeq.sortBy(t => (t.subj, t.pred, t.obj))
+    spark.createDataset(goldTriples).toDF()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("gold_triples.parquet").toString)
 
     Files.write(marker, sig.getBytes(StandardCharsets.UTF_8))
     dir

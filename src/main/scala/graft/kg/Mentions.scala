@@ -125,6 +125,60 @@ object Mentions {
     }
   }
 
+  // ------------------------------------------------------------------ N14
+
+  /** Deterministic stand-in for a precomputed LM embedding (contextual: keyed
+    * on doc, position AND token) — the value set the stager writes to
+    * lm_embeddings.parquet. A real pipeline replaces the STAGING with actual
+    * LM output; the join-in below is unchanged.
+    */
+  def lmVec(docId: String, pos: Int, tok: String): Array[Float] =
+    Array.tabulate(VariantWeights.LmDim) { j =>
+      val u = java.lang.Long.remainderUnsigned(Rng.streamKey(s"lm#$docId#$pos#$tok#$j"), 2000001L)
+      (u / 1000000.0 - 1.0).toFloat
+    }
+
+  final case class LmTok(pos: Int, emb: Array[Float])
+  final case class LmDocRow(doc_id: String, spans: Array[SpanRec], lms: Array[LmTok])
+
+  /** N14 stage-1 variant: detection with a PRECOMPUTED per-token LM embedding
+    * table joined in. `lm` rows are (doc_id, pos int, emb array<float>[LmDim]),
+    * `pos` indexing text tokens in offset order. One equi-join on doc_id
+    * (the lm table arrives pre-grouped per doc by a map-side-combining
+    * collect_list), then the same zero-shuffle mapPartitions transform; a doc
+    * with no lm rows gets zero vectors (LM-absent semantics).
+    */
+  def detectLm(docs: Dataset[PyramidDoc], lm: DataFrame, bcModel: Broadcast[Model],
+               bcVar: Broadcast[VariantWeights]): Dataset[Mention] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lmPerDoc = lm.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("emb")))).as("lms"))
+    val joined = docs.toDF().join(lmPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("spans"), col("lms"))
+      .as[LmDocRow]
+    val par = spark.sparkContext.defaultParallelism
+    val wide = if (joined.rdd.getNumPartitions < par) joined.repartition(par) else joined
+    wide.mapPartitions { it =>
+      val m = bcModel.value
+      val inf = new PyramidInference(m.weights, m.vocab)
+      val vi = new PyramidVariantInference(inf, bcVar.value)
+      val dim = VariantWeights.LmDim
+      it.flatMap { row =>
+        val doc = PyramidDoc(row.doc_id, row.spans)
+        val lms = if (row.lms == null) Array.empty[LmTok] else row.lms
+        detectDocWith(doc, { toks =>
+          val flat = new Array[Float](toks.length * dim)
+          lms.foreach { t =>
+            if (t.pos >= 0 && t.pos < toks.length)
+              System.arraycopy(t.emb, 0, flat, t.pos * dim, dim)
+          }
+          vi.detectLm(toks, flat, m.codec)
+        })
+      }
+    }
+  }
+
   /** Convenience: full stage-1 dataframe for SparkEntry.queries. */
   def mentionsDf(spark: SparkSession, sfDir: String, cfg: ModelConfig = ModelConfig()): DataFrame = {
     val docs = DocGen.docs(spark, sfDir)

@@ -104,6 +104,90 @@ class PyramidVariantsSpec extends AnyFunSuite {
     assert(sensitive, "context vector must influence the decode")
   }
 
+  test("doc-RNN context encoder (N13): deterministic, context-sensitive, pluggable dim") {
+    val vi = newVi()
+    val pre = Array("alpha", "beta", "gamma")
+    val post = Array("delta")
+    // same output dim as the pooled encoder — the ctx heads serve both
+    assert(vi.contextVectorRnn(pre, post).length == vi.contextVector(pre, post).length)
+    assert(vi.contextVectorRnn(Array.empty, Array.empty).forall(_ == 0f))
+    // a recurrence is ORDER-sensitive where pooling is not — use IN-VOCAB
+    // tokens (unknown words all share the UNK embedding and hide ordering)
+    val known = sampleTokens.flatten.distinct.take(4).toArray
+    assert(known.length == 4)
+    val fwd = vi.contextVectorRnn(known, Array.empty)
+    val rev = vi.contextVectorRnn(known.reverse, Array.empty)
+    assert(!fwd.sameElements(rev), "doc-RNN must be order-sensitive")
+    // pooling contrast: order-insensitive up to float summation noise in the
+    // mean lane (min/max lanes are exactly equal)
+    val pa = vi.contextVector(known, Array.empty)
+    val pb = vi.contextVector(known.reverse, Array.empty)
+    pa.zip(pb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5f) }
+    sampleTokens.take(20).foreach { toks =>
+      val a = vi.detectContextualRnn(toks, pre, post, model.codec)
+      val b = newVi().detectContextualRnn(toks, pre, post, model.codec)
+      assert(a == b)
+    }
+    val sensitive = sampleTokens.exists { toks =>
+      vi.detectContextualRnn(toks, pre, post, model.codec) !=
+        vi.detectContextualRnn(toks, Array.empty, Array.empty, model.codec)
+    }
+    assert(sensitive, "doc-RNN context must influence the decode")
+  }
+
+  test("LM-embedding variant (N14): deterministic, lm-sensitive, size-checked") {
+    val vi = newVi()
+    val dim = VariantWeights.LmDim
+    def lmOf(toks: Array[String], salt: String): Array[Float] = {
+      val flat = new Array[Float](toks.length * dim)
+      toks.zipWithIndex.foreach { case (tok, p) =>
+        System.arraycopy(Mentions.lmVec(s"d$salt", p, tok), 0, flat, p * dim, dim)
+      }
+      flat
+    }
+    sampleTokens.take(20).foreach { toks =>
+      val a = vi.detectLm(toks, lmOf(toks, "x"), model.codec)
+      val b = newVi().detectLm(toks, lmOf(toks, "x"), model.codec)
+      assert(a == b, "LM detect must be deterministic")
+    }
+    // the lm column must be LIVE: different embeddings change some decode
+    val sensitive = sampleTokens.exists { toks =>
+      vi.detectLm(toks, lmOf(toks, "x"), model.codec) !=
+        vi.detectLm(toks, lmOf(toks, "y"), model.codec)
+    }
+    assert(sensitive, "LM embeddings must influence the decode")
+    intercept[IllegalArgumentException] {
+      vi.detectLm(Array("alpha", "beta"), new Array[Float](dim), model.codec)
+    }
+  }
+
+  test("distributed detectLm (parquet-shaped join) == sequential LM derivation") {
+    import spark.implicits._
+    val slice = docs.orderBy("doc_id").limit(40).collect().toSeq
+    val lmRows = slice.flatMap { d =>
+      val toks = d.spans.filter(_.kind == "text").sortBy(_.offset).map(_.text)
+      toks.zipWithIndex.map { case (tok, p) => (d.doc_id, p, Mentions.lmVec(d.doc_id, p, tok)) }
+    }
+    val lmDf = spark.createDataset(lmRows).toDF("doc_id", "pos", "emb")
+    val sliceDs = spark.createDataset(slice).repartition(7) // odd split on purpose
+    val got = Mentions.detectLm(sliceDs, lmDf,
+        spark.sparkContext.broadcast(model), spark.sparkContext.broadcast(vw))
+      .collect().toSeq.sortBy(m => (m.doc_id, m.order))
+    val inf = new PyramidInference(model.weights, model.vocab)
+    val vi = new PyramidVariantInference(inf, vw)
+    val dim = VariantWeights.LmDim
+    val want = slice.flatMap { d =>
+      Mentions.detectDocWith(d, { toks =>
+        val flat = new Array[Float](toks.length * dim)
+        toks.zipWithIndex.foreach { case (tok, p) =>
+          System.arraycopy(Mentions.lmVec(d.doc_id, p, tok), 0, flat, p * dim, dim)
+        }
+        vi.detectLm(toks, flat, model.codec)
+      })
+    }.sortBy(m => (m.doc_id, m.order))
+    assert(got == want)
+  }
+
   test("context pooling: min/max/mean lanes (document_embeddings.py:169-184)") {
     val vi = newVi()
     val c = vi.contextVector(Array("alpha"), Array.empty)
