@@ -86,8 +86,12 @@ object Dedup {
     // single posexplode projection — NOT a union of per-band selects: each
     // union arm would recompute the whole shingle+minhash aggregation (no
     // exchange reuse across differing projections; the AliasDict.build trap).
-    // The self-join sides shuffle on identical (band, bucket) exchanges, so
-    // ReuseExchange materializes the subtree once.
+    // Deliberately NOT cached: at data sizes where recompute would hurt, the
+    // self-join is a sort-merge join on identical (band, bucket) exchanges
+    // and ReuseExchange materializes the subtree once (steady-state ~5 s at
+    // sf0.1; caching measured no better and breaks codegen fusion); only the
+    // tiny-input AQE-broadcast case double-computes, where the subtree is
+    // cheap anyway.
     val all = sig.select(col("doc_id"), posexplode(array((0 until MinhashBands).map(b =>
       md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)).as(Seq("band", "bucket")))
     all.as("a").join(all.as("b"), Seq("band", "bucket"))

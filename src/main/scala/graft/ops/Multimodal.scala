@@ -33,25 +33,43 @@ object Multimodal {
         col("s.text").as("caption"), col("s.offset").as("offset"),
         unhex(md5(col("s.media_ref"))).as("payload"))
 
-  /** STUB decode: deterministic pseudo-metadata + 8-dim feature vector from
-    * payload bytes. Replace body with a real codec (`???` boundary) — the
-    * mapPartitions batch shape stays identical.
+  /** The codec boundary AS A TYPE: a real pipeline passes an implementation
+    * wrapping its image/audio/video libraries; everything on the Spark side
+    * (binary column, mapPartitions batching, output schema) is independent of
+    * which decoder rides the broadcast closure. Must be Serializable — one
+    * instance is shipped to every task.
     */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    def u(i: Int): Int = payload(i % payload.length) & 0xff
-    val width = 64 + (u(0) << 2)
-    val height = 64 + (u(1) << 2)
-    val frames = 1 + u(2) % 32
-    val feature = Array.tabulate(8)(i => (u(3 + i) - 128) / 128.0f)
-    (width, height, frames, feature)
+  trait MediaDecoder extends Serializable {
+    /** payload bytes → (width, height, n_frames, feature[8]) */
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float])
   }
 
+  /** STUB decoder — image/audio codecs are not in this container (builder
+    * brief): deterministic pseudo-metadata + 8-dim feature vector from the
+    * payload bytes. A production swap is `mediaFeatures(spark, dir, new
+    * JpegDecoder)`, not an edit here.
+    */
+  object StubDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      def u(i: Int): Int = payload(i % payload.length) & 0xff
+      val width = 64 + (u(0) << 2)
+      val height = 64 + (u(1) << 2)
+      val frames = 1 + u(2) % 32
+      val feature = Array.tabulate(8)(i => (u(3 + i) - 128) / 128.0f)
+      (width, height, frames, feature)
+    }
+  }
+
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) =
+    StubDecoder.decode(payload)
+
   /** feature extraction over binary media columns — batched per partition. */
-  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+  def mediaFeatures(spark: SparkSession, sfDir: String,
+                    decoder: MediaDecoder = StubDecoder): DataFrame = {
     import spark.implicits._
     mediaTable(spark, sfDir).as[MediaRow].mapPartitions { it =>
       it.map { m =>
-        val (w, h, f, feat) = decodeStub(m.payload)
+        val (w, h, f, feat) = decoder.decode(m.payload)
         MediaFeatures(m.doc_id, m.media_ref, w, h, f, feat)
       }
     }.toDF()

@@ -176,6 +176,17 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("media decoder boundary is a type: a custom decoder swaps in") {
+    object FixedDecoder extends Multimodal.MediaDecoder {
+      def decode(p: Array[Byte]): (Int, Int, Int, Array[Float]) =
+        (2, 3, 4, Array.fill(8)(0.5f))
+    }
+    val rows = Multimodal.mediaFeatures(spark, sfDir, FixedDecoder)
+      .select("width", "height", "n_frames").distinct().collect()
+    assert(rows.length == 1)
+    assert((rows(0).getInt(0), rows(0).getInt(1), rows(0).getInt(2)) == ((2, 3, 4)))
+  }
+
   test("resize fits the max-side box preserving aspect ratio") {
     val rows = Multimodal.resized(spark, sfDir, maxSide = 128).collect()
     assert(rows.nonEmpty)
