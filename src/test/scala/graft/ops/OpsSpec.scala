@@ -103,6 +103,28 @@ class OpsSpec extends AnyFunSuite {
     assert(streamRows.nonEmpty, "corpus must contain emitted sessions")
   }
 
+  test("session handler clamps event-time timeouts behind the watermark (late groups)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val wmMs = 10000000L // watermark at 10,000 s
+    val state = TestGroupState.create[Streaming.SessionState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout(), 0L,
+      Optional.of(wmMs), hasTimedOut = false)
+    // a LATE event: desired timeout (1000 + 1800) s < watermark — unclamped,
+    // setTimeoutTimestamp throws and fails the whole streaming query
+    val ev = Streaming.SessionEvent(1L, new java.sql.Timestamp(1000 * 1000L), 1.0)
+    val out = Streaming.SessionHandler(1L, Iterator(ev), state)
+    assert(out.isEmpty, "late session stays open in state")
+    assert(state.getTimeoutTimestampMs.get() == wmMs + 1, "timeout clamped past watermark")
+    // and an on-time group keeps its natural gap timeout
+    val state2 = TestGroupState.create[Streaming.SessionState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout(), 0L,
+      Optional.of(1000L), hasTimedOut = false)
+    val ev2 = Streaming.SessionEvent(2L, new java.sql.Timestamp(50000 * 1000L), 1.0)
+    Streaming.SessionHandler(2L, Iterator(ev2), state2)
+    assert(state2.getTimeoutTimestampMs.get() == (50000 + Streaming.SessionGapSec) * 1000)
+  }
+
   test("ANN-LSH results are a subset of brute-force scores with decent recall@10") {
     val exact = Similarity.cosineTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
