@@ -240,6 +240,17 @@ object SparkEntry {
 
     // stateful sessionization (gap 30 min) — streaming state analogue
     "q16_sessions" -> ((s, dir) => Streaming.sessions(s, dir)),
+
+    // TRUE stateful streaming (flatMapGroupsWithState + event-time timeout):
+    // emits sessions closed by a later event or by the final watermark.
+    // Timestamps projected as wall-clock strings (stream side is LTZ, the
+    // oracle NTZ — the instant-vs-naive repr would hash-differ).
+    "q17_sessions_stream" -> ((s, dir) =>
+      Streaming.sessionsStream(s, dir, name = "sessions_out_q17")
+        .select(col("user_id"), col("session_idx"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("sum_value"))),
   )
 
   // ---------------------------------------------------- training-data ops
@@ -300,8 +311,14 @@ object SparkEntry {
     * rows-only here; the P=R=1.0 assertion lives in EvalSpec.
     */
   private def evalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "eval_span_prf" -> ((s, dir) => Eval.spanPrf(s, dir)),
-    "eval_bioes_prf" -> ((s, dir) => Eval.bioesPrf(s, dir)),
+    "eval_span_prf" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir) // oracle derives the table from staged gold
+      Eval.spanPrf(s, dir)
+    }),
+    "eval_bioes_prf" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      Eval.bioesPrf(s, dir)
+    }),
     // per-layer/nesting aggregations over the eval slice so the DuckDB oracle
     // can re-derive them relationally from the staged GoldRef mentions
     "eval_layers" -> ((s, dir) => {
@@ -458,6 +475,36 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  round(sum(value), 6) AS sum_value
         |FROM sess GROUP BY 1, 2""".stripMargin,
+    // same session derivation, restricted to CLOSED sessions (closed by a
+    // later session of the same user, or end + gap strictly before the final
+    // watermark = max event time − 10 min) — the contract the stateful
+    // stream emits under AvailableNow + a final timeout trigger
+    "q17_sessions_stream" ->
+      """WITH gapped AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM gapped),
+        |agg AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events,
+        |    min(ts) AS session_start, max(ts) AS session_end,
+        |    round(sum(value), 6) AS sum_value
+        |  FROM sess GROUP BY 1, 2),
+        |wm AS (SELECT max(epoch(ts)) - 600 AS wsec FROM events),
+        |last AS (SELECT user_id, max(session_idx) AS max_idx FROM agg GROUP BY 1)
+        |SELECT CAST(a.user_id AS BIGINT) AS user_id,
+        |  CAST(a.session_idx AS INT) AS session_idx,
+        |  strftime(a.session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(a.session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  a.n_events, a.sum_value
+        |FROM agg a JOIN last l ON a.user_id = l.user_id, wm
+        |WHERE a.session_idx < l.max_idx
+        |   OR epoch(a.session_end) + 1800 < wm.wsec""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
@@ -681,8 +728,40 @@ object SparkEntry {
          |  media_ref || '#f' || frame_idx AS frame_ref,
          |  md5(media_ref || '#f' || frame_idx) AS payload_hex
          |FROM fr""".stripMargin,
-    "sim_ann_lsh" -> annLshSql
+    "sim_ann_lsh" -> annLshSql,
+    // E3/M4 metrics tables: distributed pred is hash-equal to staged gold
+    // (kg_mentions_slice), so the exact metrics table is derivable from gold
+    // ALONE — per-class P=R=F1=1 where the kind occurs, 0 where it doesn't,
+    // macro = mean, micro/weighted = 1 when any tp. If the distributed eval
+    // diverged (fp/fn > 0 anywhere), its P/R drop below 1 and the hash breaks.
+    "eval_span_prf" -> prfFromGoldSql,
+    "eval_bioes_prf" -> prfFromGoldSql
   )
+
+  /** metrics table (level, kind, precision, recall, f1) implied by pred ==
+    * gold, with per-kind presence read from the staged gold mentions. The
+    * span and BIOES variants agree: a kind has span rows iff it has tag rows.
+    */
+  private lazy val prfFromGoldSql: String = {
+    val kinds = Mentions.Kinds.map(k => s"'$k'").mkString(", ")
+    s"""WITH present AS (
+       |  SELECT kind, count(*) AS tp FROM (
+       |    SELECT DISTINCT doc_id, start_tok, len, kind
+       |    FROM read_parquet('$KgPath/gold_mentions.parquet/*.parquet')) GROUP BY 1),
+       |cls AS (
+       |  SELECT k.kind, CASE WHEN coalesce(p.tp, 0) > 0 THEN 1.0 ELSE 0.0 END AS v
+       |  FROM (SELECT unnest([$kinds]) AS kind) k
+       |  LEFT JOIN present p USING (kind)),
+       |summary AS (
+       |  SELECT 'macro' AS level, '*' AS kind, avg(v) AS v FROM cls
+       |  UNION ALL
+       |  SELECT 'micro', '*', CASE WHEN max(v) > 0 THEN 1.0 ELSE 0.0 END FROM cls
+       |  UNION ALL
+       |  SELECT 'weighted', '*', CASE WHEN max(v) > 0 THEN 1.0 ELSE 0.0 END FROM cls)
+       |SELECT level, kind, v AS precision, v AS recall,
+       |  CASE WHEN v > 0 THEN 2 * v * v / (v + v) ELSE 0.0 END AS f1
+       |FROM (SELECT 'class' AS level, kind, v FROM cls UNION ALL SELECT * FROM summary)""".stripMargin
+  }
 
   /** The driver's correctness gate runs at sf0.01 — the staged-reader oracle
     * SQL embeds that stage dir (oracle strings cannot see sfDir).
