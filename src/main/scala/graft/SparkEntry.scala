@@ -338,6 +338,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "dedup_embcos" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "sim_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "sim_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "sim_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
@@ -729,6 +730,7 @@ object SparkEntry {
          |  md5(media_ref || '#f' || frame_idx) AS payload_hex
          |FROM fr""".stripMargin,
     "sim_ann_lsh" -> annLshSql,
+    "dedup_embcos" -> embCosSql,
     // E3/M4 metrics tables: distributed pred is hash-equal to staged gold
     // (kg_mentions_slice), so the exact metrics table is derivable from gold
     // ALONE — per-class P=R=F1=1 where the kind occurs, 0 where it doesn't,
@@ -856,18 +858,35 @@ object SparkEntry {
     * are made on the 6dp-ROUNDED cosine on BOTH sides so float-noise at the
     * sign boundary cannot diverge.
     */
-  private lazy val annLshSql: String = {
+  /** sig + bands CTEs shared by the ANN and embedding-near-dup oracles. */
+  private lazy val lshBandsCte: String = {
     def hp(h: Int): String =
       Similarity.hyperplane(h).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     val sigExpr = (0 until Similarity.LshBits).map { h =>
       s"CASE WHEN round(list_cosine_similarity(embedding::DOUBLE[], ${hp(h)}), 6) > 0 " +
         s"THEN CAST(1 AS BIGINT) << $h ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH sig AS (
+    s"""sig AS (
        |  SELECT vec_id, embedding, $sigExpr AS sg FROM embeddings),
        |bands AS (
        |  SELECT vec_id, embedding, b AS band, (sg >> (4*b)) & 15 AS bucket
-       |  FROM sig, LATERAL (SELECT unnest([0,1,2,3]) AS b)),
+       |  FROM sig, LATERAL (SELECT unnest([0,1,2,3]) AS b))""".stripMargin
+  }
+
+  /** mirror of Dedup.embeddingNearDup: shared-band candidates, exact rounded
+    * cosine ≥ threshold.
+    */
+  private lazy val embCosSql: String =
+    s"""WITH $lshBandsCte
+       |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+       |FROM bands a JOIN bands b USING (band, bucket)
+       |WHERE a.vec_id < b.vec_id
+       |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+       |      >= ${Dedup.EmbDupThreshold}""".stripMargin
+
+  private lazy val annLshSql: String = {
+    s"""WITH $lshBandsCte,
        |qb AS (SELECT vec_id AS query_id, embedding AS q, band, bucket
        |       FROM bands WHERE vec_id % ${Similarity.QueryMod} = 0),
        |cand AS (

@@ -144,6 +144,26 @@ object Dedup {
     summed.select(col("doc_id"), hash.as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidate pairs come from shared
+    * random-hyperplane LSH band buckets (Similarity.lshBands — never
+    * all-pairs), then the exact cosine (native Catalyst expression, 6dp
+    * rounded for cross-engine determinism) keeps pairs ≥ threshold. The
+    * candidate generation is part of the operator contract (the DuckDB
+    * oracle mirrors bands + join + filter), exactly like minhashLsh.
+    */
+  val EmbDupThreshold = 0.4 // synthetic embeddings: max pairwise cosine ~0.5-0.6
+
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Fns
+    val bands = Similarity.lshBands(Similarity.embDf(spark, sfDir))
+    bands.as("a").join(bands.as("b"), Seq("band", "bucket"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(Fns.cosine_sim(col("a.embedding"), col("b.embedding")), 6).as("cosine"))
+      .where(col("cosine") >= EmbDupThreshold)
+      .distinct()
+  }
+
   /** SimHash near-dup pairs via byte banding: candidates share a same-position
     * byte of the signature, then exact Hamming ≤ max.
     */

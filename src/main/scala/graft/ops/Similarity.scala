@@ -56,7 +56,7 @@ object Similarity {
     * bit decisions (list_cosine_similarity matches the Catalyst expression
     * to <1e-6; the raw sign could differ inside that band).
     */
-  private def signature(emb: Column): Column =
+  private[ops] def signature(emb: Column): Column =
     (0 until LshBits).map { h =>
       when(round(Fns.cosine_sim(emb, typedlit(hyperplane(h))), 6) > 0, shiftleft(lit(1L), h))
         .otherwise(lit(0L))
@@ -152,19 +152,23 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
   }
 
+  /** vectors exploded into their (band, bucket) LSH cells — shared by the
+    * ANN query path and the embedding near-dup dedup.
+    */
+  private[ops] def lshBands(df: DataFrame): DataFrame =
+    df.withColumn("sig", signature(col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until LshBits / 4).map(k =>
+          shiftright(col("sig"), 4 * k).bitwiseAND(lit(15L))): _*))
+          .as(Seq("band", "bucket")))
+
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     // one posexplode projection per side (no per-band union arms — each arm
     // would recompute the 16-cosine signature scan), and the query side is
     // FILTERED BEFORE the signature computation, so its scan reads 1% of the
     // table with the predicate pushed into parquet
-    def bandsOf(df: DataFrame): DataFrame =
-      df.withColumn("sig", signature(col("embedding")))
-        .select(col("vec_id"), col("embedding"),
-          posexplode(array((0 until LshBits / 4).map(k =>
-            shiftright(col("sig"), 4 * k).bitwiseAND(lit(15L))): _*))
-            .as(Seq("band", "bucket")))
-    val bands = bandsOf(embDf(spark, sfDir))
-    val qb = bandsOf(embDf(spark, sfDir).where(col("vec_id") % QueryMod === 0))
+    val bands = lshBands(embDf(spark, sfDir))
+    val qb = lshBands(embDf(spark, sfDir).where(col("vec_id") % QueryMod === 0))
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("band"), col("bucket"))
     val cand = bands.join(broadcast(qb), Seq("band", "bucket"))
