@@ -1,7 +1,7 @@
 package graft.kg
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.ModelConfig
 
@@ -31,8 +31,12 @@ object KgRunner {
   final class InjectedKill(bucket: Int) extends RuntimeException(s"injected kill after bucket $bucket")
 
   def run(spark: SparkSession, sfDir: String, outDir: String, buckets: Int = 8,
-          cfg: ModelConfig = ModelConfig(), failAfter: Option[Int] = None): RunReport = {
+          cfg: ModelConfig = ModelConfig(), failAfter: Option[Int] = None,
+          tableIO: Option[TableIO] = None): RunReport = {
     import spark.implicits._
+    // table layout behind the TableIO seam (Parquet emulation by default;
+    // an Iceberg-catalog implementation is a config swap — SURVEY §7)
+    val io = tableIO.getOrElse(new ParquetTableIO(outDir))
     val out = Paths.get(outDir)
     Files.createDirectories(out.resolve("manifest"))
 
@@ -61,27 +65,23 @@ object KgRunner {
       }
 
     // ---- stage 0: bucketed docs materialization (once; partition-pruned reads)
-    val docsDir = out.resolve("docs")
-    if (!Files.exists(docsDir.resolve("_SUCCESS"))) {
-      DocGen.docs(spark, sfDir).toDF()
-        .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(effBuckets)))
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(docsDir.toString)
+    if (!io.exists("docs")) {
+      io.writeBucketed(
+        DocGen.docs(spark, sfDir).toDF()
+          .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(effBuckets))),
+        "docs", "bucket")
     }
-    val allDocs = spark.read.parquet(docsDir.toString)
+    val allDocs = io.read(spark, "docs")
 
     // ---- dimension state: model lexicon, dict, canonical map (deterministic;
     //      persisted so a resume run reuses instead of recomputing)
-    val dictDir = out.resolve("dict")
-    if (!Files.exists(dictDir.resolve("_SUCCESS")))
-      AliasDict.build(allDocs.drop("bucket").as[PyramidDoc])
-        .write.mode(SaveMode.Overwrite).parquet(dictDir.toString)
-    val dict = spark.read.parquet(dictDir.toString)
+    if (!io.exists("dict"))
+      io.write(AliasDict.build(allDocs.drop("bucket").as[PyramidDoc]), "dict")
+    val dict = io.read(spark, "dict")
 
-    val canonDir = out.resolve("canon")
-    if (!Files.exists(canonDir.resolve("_SUCCESS")))
-      Canonical.connectedComponents(Canonical.edgesFromDict(dict))
-        .write.mode(SaveMode.Overwrite).parquet(canonDir.toString)
-    val canonMap = spark.read.parquet(canonDir.toString)
+    if (!io.exists("canon"))
+      io.write(Canonical.connectedComponents(Canonical.edgesFromDict(dict)), "canon")
+    val canonMap = io.read(spark, "canon")
 
     val model = Mentions.buildModel(allDocs.drop("bucket").as[PyramidDoc], cfg)
     val bc = spark.sparkContext.broadcast(model)
@@ -94,20 +94,20 @@ object KgRunner {
       if (!done.contains(b)) {
         failAfter.foreach(k => if (i >= k) throw new InjectedKill(b))
         val t0 = System.nanoTime()
-        val docsB = spark.read.parquet(s"$docsDir/bucket=$b").as[PyramidDoc]
+        val docsB = io.readBucket(spark, "docs", b).as[PyramidDoc]
         val mentions = Mentions.detect(docsB, bc).toDF().cache()
         try {
           val linked = Link.link(mentions, dict)
           val canon = Canonical.canonicalize(linked, canonMap)
           val triples = Triples.fromCanonical(canon)
-          triples.write.mode(SaveMode.Overwrite).parquet(s"$outDir/triples/bucket=$b")
+          io.writeBucket(triples, "triples", b)
           // per-task lineage: mentions live in the same stage as the pruned
           // scan, so spark_partition_id() is the real task id of stage 1
           val lineage = mentions.groupBy(spark_partition_id().as("pid"))
             .agg(count(lit(1)).as("n")).as[(Int, Long)].collect().toSeq.sortBy(_._1)
           val nDocs = docsB.count()
           val nMentions = mentions.count()
-          val nTriples = spark.read.parquet(s"$outDir/triples/bucket=$b").count()
+          val nTriples = io.readBucket(spark, "triples", b).count()
           val wallMs = (System.nanoTime() - t0) / 1000000
           commitManifest(out, b, nDocs, nMentions, nTriples, wallMs, lineage)
           processed += BucketResult(b, nDocs, nMentions, nTriples, wallMs, lineage)
@@ -115,7 +115,7 @@ object KgRunner {
         } finally mentions.unpersist()
       }
     }
-    val total = spark.read.parquet(s"$outDir/triples").count()
+    val total = io.read(spark, "triples").count()
     RunReport(processed.toSeq, done.toSeq.sorted, total)
   }
 
