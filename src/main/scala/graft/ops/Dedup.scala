@@ -78,6 +78,23 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Production one-pass MinHash: the typed [[graft.functions.MinHashAgg]]
+    * Aggregator over xxhash64 shingle hashes — k hash functions in one typed
+    * pass (vs k md5 min() columns). Not DuckDB-expressible → the driver
+    * oracle rides [[minhashSignatures]]; OpsSpec pins determinism,
+    * repartition-invariance (merge path) and equal-doc collision.
+    */
+  def minhash64(spark: SparkSession, sfDir: String, k: Int = 2 * MinhashBands): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.MinHashAgg(k).toColumn
+    shingles(spark, sfDir)
+      .select(col("doc_id").cast("long"), xxhash64(col("shingle")))
+      .as[(Long, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.name("sig"))
+      .toDF("doc_id", "sig")
+  }
+
   /** MinHash-LSH candidate pairs: docs sharing any band bucket
     * (band b = md5(mh_{2b} || mh_{2b+1})).
     */

@@ -198,6 +198,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashAgg: one-pass typed signature is deterministic and partition-invariant") {
+    val a = Dedup.minhash64(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(a.nonEmpty && a.values.forall(_.length == 2 * Dedup.MinhashBands))
+    // merge path: different partitioning must produce identical signatures
+    import spark.implicits._
+    val sh = Dedup.shingles(spark, sfDir)
+      .select(col("doc_id").cast("long"), xxhash64(col("shingle")))
+      .as[(Long, Long)].repartition(13)
+    val b = sh.groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.MinHashAgg(2 * Dedup.MinhashBands).toColumn.name("sig"))
+      .collect().map { case (id, sig) => id -> sig.toVector }.toMap
+    assert(a == b)
+    // identical shingle sets (equal texts) → identical signatures
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("cast(doc_id as long) doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byText = docs.groupBy(_._2).values.filter(_.length > 1)
+    byText.take(5).foreach { group =>
+      val sigs = group.flatMap(d => a.get(d._1)).distinct
+      assert(sigs.length <= 1, "equal texts must share a signature")
+    }
+  }
+
   test("media decoder boundary is a type: a custom decoder swaps in") {
     object FixedDecoder extends Multimodal.MediaDecoder {
       def decode(p: Array[Byte]): (Int, Int, Int, Array[Float]) =
