@@ -32,7 +32,7 @@ object KgStage {
   /** bump when the staged derivation changes — part of the signature so old
     * stage dirs regenerate
     */
-  val Version = "kg-v3"
+  val Version = "kg-v4" // v4: Nn.tanhF switched to the exp-based form (≤1 float ulp; decode could flip on near-ties, so staged goldens regenerate)
 
   def stageDir(sfDir: String): Path = ReaderStage.stageDir(sfDir).resolve("kg")
 
