@@ -17,7 +17,7 @@ object ScalingBench {
 
   final case class Level(cpus: Int, medianSec: Double, triples: Long, tokens: Long,
                          triplesPerSec: Double, tokensPerSec: Double,
-                         extLoad: Double, cpuUtil: Double)
+                         extLoad: Double, cpuUtil: Double, calibPerThread: Double)
 
   /** 1-min host load average minus this JVM's own running threads — the
     * sandbox host has noisy neighbors (external load 10-20 at times), which
@@ -71,8 +71,11 @@ object ScalingBench {
       }.drop(1).sorted
       val median = times(times.length / 2)
       docs.unpersist()
+      // machine ceiling at this width: embarrassingly-parallel per-thread
+      // throughput (run after the Spark reps, same JVM, warm JIT)
+      val calib = InferCalib.perThread(cpus)
       Level(cpus, median, triples, tokens, triples / median, tokens / median,
-        loadSum / reps, cpuSum / reps)
+        loadSum / reps, cpuSum / reps, calib)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
@@ -89,6 +92,11 @@ object ScalingBench {
     val lo = runLevel(n, sfDir, amplify, reps)
     val hi = runLevel(4 * n, sfDir, amplify, reps)
     val efficiency = (hi.triplesPerSec / lo.triplesPerSec) / 4.0
+    // the machine's own ceiling for a zero-coordination workload at 4N vs N
+    // threads (single box: shared LLC + hypervisor steal + full-width turbo);
+    // a real 4N-executor cluster adds machines instead of widening one
+    val hwCeiling = hi.calibPerThread / lo.calibPerThread
+    val swEfficiency = efficiency / hwCeiling
 
     val json =
       s"""{"metric":"scaling_efficiency","value":$efficiency,"unit":"ratio",""" +
@@ -99,7 +107,10 @@ object ScalingBench {
         s""""n4_cpus":${hi.cpus},"triples_per_sec_4N":${hi.triplesPerSec},""" +
         s""""wall_sec_4N":${hi.medianSec},""" +
         s""""ext_load_N":${f"${lo.extLoad}%.1f"},"ext_load_4N":${f"${hi.extLoad}%.1f"},""" +
-        s""""cpu_util_N":${f"${lo.cpuUtil}%.3f"},"cpu_util_4N":${f"${hi.cpuUtil}%.3f"}}"""
+        s""""cpu_util_N":${f"${lo.cpuUtil}%.3f"},"cpu_util_4N":${f"${hi.cpuUtil}%.3f"},""" +
+        s""""calib_per_thread_N":${f"${lo.calibPerThread}%.0f"},""" +
+        s""""calib_per_thread_4N":${f"${hi.calibPerThread}%.0f"},""" +
+        s""""hw_ceiling":${f"$hwCeiling%.3f"},"sw_scaling_eff":${f"$swEfficiency%.3f"}}"""
     println(json)
 
     val md =
@@ -117,8 +128,20 @@ object ScalingBench {
          |
          |- corpus: `$sfDir/documents.parquet` deterministically amplified ×$amplify
          |  (${lo.tokens} text tokens; ${lo.triples} distinct-triple rows)
-         |- **scaling efficiency = (thr@4N / thr@N) / 4 = ${f"$efficiency%.3f"}**
+         |- **raw scaling efficiency = (thr@4N / thr@N) / 4 = ${f"$efficiency%.3f"}**
          |  (target ≥ 0.8, BASELINE.md row 9)
+         |- **machine ceiling at 4N threads** (`graft.InferCalib`:
+         |  embarrassingly-parallel per-thread inference, zero coordination):
+         |  ${f"${lo.calibPerThread}%.0f"} tokens/s/thread at ${lo.cpus} threads →
+         |  ${f"${hi.calibPerThread}%.0f"} at ${hi.cpus} threads = ${f"$hwCeiling%.3f"}.
+         |  This is what ONE BOX gives a perfectly-parallel job when widening
+         |  ${lo.cpus} → ${hi.cpus} threads (shared LLC, hypervisor steal, full-width
+         |  clocks). A real N→4N-EXECUTOR scale-up adds machines instead of
+         |  saturating one, so the box ceiling does not apply there.
+         |- **ceiling-normalized (software) scaling efficiency =
+         |  ${f"$efficiency%.3f"} / ${f"$hwCeiling%.3f"} = ${f"$swEfficiency%.3f"}** — the
+         |  job-structure component (shuffles, barriers, stragglers, fixed
+         |  stages), i.e. what transfers to a multi-machine cluster.
          |- ext. host load = 1-min loadavg minus this JVM's cores (sandbox host
          |  has noisy neighbors; external load ≳ a few cores contends the 4N
          |  level and deflates measured efficiency — compare cpu util: the
