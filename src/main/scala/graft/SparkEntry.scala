@@ -73,6 +73,13 @@ object SparkEntry {
       val _ = KgStage.stage(s, dir)
       Eval.sliceTriples(s, dir)
     }),
+    // incremental ingest: streaming detect + stream-static link over the
+    // same slice, value-checked against the SAME staged GoldRef linking as
+    // the batch slice query — batch, stream, and sequential must all agree
+    "kg_stream_linked" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      KgStream.linkedStream(s, dir)
+    }),
     "kg_mentions" -> ((s, dir) => {
       val bc = s.sparkContext.broadcast(model(s, dir))
       Mentions.detect(DocGen.docs(s, dir), bc).toDF()
@@ -668,6 +675,10 @@ object SparkEntry {
       s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
          |FROM read_parquet('$KgPath/gold_ml_mentions.parquet/*.parquet')""".stripMargin,
     "kg_linked_slice" ->
+      s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order",
+         |  entity_id, dict_kind, prior
+         |FROM read_parquet('$KgPath/gold_linked.parquet/*.parquet')""".stripMargin,
+    "kg_stream_linked" ->
       s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order",
          |  entity_id, dict_kind, prior
          |FROM read_parquet('$KgPath/gold_linked.parquet/*.parquet')""".stripMargin,
