@@ -32,6 +32,10 @@ import graft.core.ModelConfig
   */
 object KgStream {
 
+  // memory-sink query names must be unique within a JVM (QueryBench repeats
+  // queries in one session; a finished query's name stays registered)
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger
+
   /** Streaming mention detection + linking over the eval slice of
     * `documents.parquet`, drained synchronously via AvailableNow into a
     * memory sink (mirrors `ops.Streaming` patterns). The model and alias
@@ -40,8 +44,9 @@ object KgStream {
     * continuous document stream.
     */
   def linkedStream(spark: SparkSession, sfDir: String,
-                   name: String = "kg_stream_linked"): DataFrame = {
+                   queryName: String = "kg_stream_linked"): DataFrame = {
     import spark.implicits._
+    val name = s"${queryName}_${runSeq.incrementAndGet()}"
 
     // static side (batch over the same slice as Eval.sliceLinked)
     val sliceDocs = DocGen.docs(spark, sfDir)

@@ -24,7 +24,7 @@ class KgStreamSpec extends AnyFunSuite {
   test("streaming detect+link emits exactly the batch slice linking") {
     val cols = Seq("doc_id", "mention_id", "kind", "text", "media_ref",
       "start_tok", "len", "order", "entity_id", "dict_kind", "prior")
-    val stream = KgStream.linkedStream(spark, sfDir, name = "kg_stream_spec")
+    val stream = KgStream.linkedStream(spark, sfDir, queryName = "kg_stream_spec")
       .select(cols.head, cols.tail: _*)
     val batch = Eval.sliceLinked(spark, sfDir).select(cols.head, cols.tail: _*)
     val got = rowSet(stream)
