@@ -45,21 +45,28 @@ object Bench {
     // failures are reported EXPLICITLY (failed list + negative sentinel time)
     // — a swallowed exception must not masquerade as a plausible duration
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // min-of-N reps per query: the sandbox host has bursty noisy neighbors
+    // (round-2 driver battery showed 3 s queries as 109 s rows); the minimum
+    // of two independent timings is the closest observable to the real cost
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (ok, sec) = time {
-        try { force(fn(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed += name
-          false
+      val times = (1 to reps).map { _ =>
+        val (ok, sec) = time {
+          try { force(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+            false
+          }
         }
+        // several operators persist intermediates they legitimately reuse
+        // within one query (jaccard shingles, simhash bands, slice docs);
+        // drop them between queries so storage-memory pressure from query k
+        // doesn't tax query k+1
+        spark.catalog.clearCache()
+        if (ok) sec else -1.0
       }
-      // several operators persist intermediates they legitimately reuse
-      // within one query (jaccard shingles, simhash bands, slice docs);
-      // drop them between queries so storage-memory pressure from query k
-      // doesn't tax query k+1
-      spark.catalog.clearCache()
-      name -> (if (ok) sec else -1.0)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
 
     // headline: full KG pipeline on the amplified corpus, triples/sec.

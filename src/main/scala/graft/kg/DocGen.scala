@@ -64,6 +64,9 @@ object DocGen {
     * input_hint table deterministically for benchmarks).
     */
   def amplifiedDocs(spark: SparkSession, sfDir: String, factor: Int): Dataset[PyramidDoc] = {
+    // replica ids live in the id*1000+k space — a larger factor would collide
+    // with the next base document's replicas
+    require(factor >= 1 && factor <= 1000, s"amplify factor $factor outside [1, 1000]")
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".cast("long").as[Long], $"text".as[String])

@@ -23,12 +23,15 @@ object ReaderStage {
 
   /** Python `string.printable` minus what stays: chars outside ASCII
     * 0x20-0x7e and \t\n\r\x0b\f are replaced by the reference's UNK char '¤'
-    * (`utils/data.py:29`).
+    * (`utils/data.py:29`). The kept set in `sanitize` includes \x0b
+    * (vertical tab) like `string.printable` — it was embedded as a literal
+    * 0x0b byte, invisible in most renderings, so it is now written as the
+    * unicode escape; ReadersSpec probes the behavior explicitly.
     */
   val NonPrintable = "[^\\x20-\\x7e\\t\\n\\r\\x0b\\f]"
 
   def sanitize(s: String): String =
-    s.map(c => if ((c >= 0x20 && c <= 0x7e) || "\t\n\r\f".contains(c)) c else '¤')
+    s.map(c => if ((c >= 0x20 && c <= 0x7e) || "\t\n\r\u000b\f".contains(c)) c else '¤')
 
   /** Deterministic "annotator": selects 1-2-token ngrams as entities by md5
     * fraction, giving nested/overlapping gold spans like the reference's

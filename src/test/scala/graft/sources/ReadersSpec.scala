@@ -24,6 +24,21 @@ class ReadersSpec extends AnyFunSuite {
   private lazy val stageDir = ReaderStage.stage(spark, sfDir).toString
   private lazy val baseDocs = ReaderStage.baseDocs(spark, sfDir)
 
+  test("sanitize keeps exactly Python string.printable (incl. vertical tab \\x0b)") {
+    // `string.printable` = digits+letters+punct+' \t\n\r\x0b\x0c' (utils/data.py:29);
+    // \x0b is easy to lose because it renders invisibly - probe it explicitly
+    val kept = " \t\n\r\u000b\f"
+    kept.foreach(c => assert(ReaderStage.sanitize(c.toString) == c.toString,
+      s"printable whitespace 0x${c.toInt.toHexString} must survive sanitize"))
+    Seq('\u0000', '\u0001', '\u001f', '\u007f', '\u00e9', '\u2028').foreach(c =>
+      assert(ReaderStage.sanitize(c.toString) == "\u00a4",
+        s"non-printable 0x${c.toInt.toHexString} must map to the UNK char"))
+    assert(ReaderStage.sanitize("a\u000bb") == "a\u000bb")
+    // the NonPrintable regex and sanitize agree on the kept set
+    assert("a\u0001b\u000bc".replaceAll(ReaderStage.NonPrintable, "\u00a4") ==
+      ReaderStage.sanitize("a\u0001b\u000bc"))
+  }
+
   test("staging is deterministic and idempotent") {
     val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(stageDir, "rasa.json"))
     ReaderStage.stage(spark, sfDir)
