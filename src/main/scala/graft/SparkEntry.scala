@@ -65,6 +65,21 @@ object SparkEntry {
       val _ = KgStage.stage(s, dir)
       Eval.sliceVariantPred(s, dir, "multilabel")
     }),
+    // N12 contextual decoder: article-window grouping (one uniform shuffle)
+    // + pooled document context, vs the staged sequential gold
+    "kg_mentions_ctx_slice" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      Eval.sliceCtxPred(s, dir)
+    }),
+    // N13 third context encoder: PRECOMPUTED sentence-transformer-style
+    // document vectors joined in from the staged table
+    "kg_mentions_st" -> ((s, dir) => Eval.sliceStPred(s, dir)),
+    // GENIA-shaped config (depth 8, 200-d, calibrated oBias): the reference's
+    // real experiment size, hash-checked like the default-config slice
+    "kg_mentions_genia_slice" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      Eval.slicePred(s, dir, ModelConfig.genia)
+    }),
     "kg_linked_slice" -> ((s, dir) => {
       val _ = KgStage.stage(s, dir)
       Eval.sliceLinked(s, dir)
@@ -674,6 +689,15 @@ object SparkEntry {
     "kg_mentions_ml_slice" ->
       s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
          |FROM read_parquet('$KgPath/gold_ml_mentions.parquet/*.parquet')""".stripMargin,
+    "kg_mentions_ctx_slice" ->
+      s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
+         |FROM read_parquet('$KgPath/gold_ctx_mentions.parquet/*.parquet')""".stripMargin,
+    "kg_mentions_st" ->
+      s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
+         |FROM read_parquet('$KgPath/gold_st_mentions.parquet/*.parquet')""".stripMargin,
+    "kg_mentions_genia_slice" ->
+      s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
+         |FROM read_parquet('$KgPath/gold_genia_mentions.parquet/*.parquet')""".stripMargin,
     "kg_linked_slice" ->
       s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order",
          |  entity_id, dict_kind, prior

@@ -34,11 +34,16 @@ final case class ModelConfig(
 }
 
 object ModelConfig {
-  /** GENIA-paper-shaped config (BASELINE.md rows 1-2): 200-d words, 60-d
-    * chars, hidden 100, depth 8.
+  /** GENIA-paper-shaped config (BASELINE.md rows 1-2; ref
+    * `run_nne_sigmoid.py:163-191`): 200-d words, 60-d chars, hidden 100,
+    * depth 8. Head biases are recalibrated for this shape (CalibMain `base`
+    * sweep): logit spread grows with input dims, so the 50-d default's
+    * oBias=1.4 starved detection to 0.6% of ngrams / 29-of-80 empty docs;
+    * oBias=1.15 restores the ~2.5% GENIA-like density (remedy density is
+    * dominated by the bias sign and stays at the default).
     */
   val genia: ModelConfig = ModelConfig(wordDim = 200, charDim = 60,
-    encHidden = 100, decHidden = 100, maxDepth = 8)
+    encHidden = 100, decHidden = 100, maxDepth = 8, oBias = 1.15f)
   /** small config for unit tests / fast local runs */
   val tiny: ModelConfig = ModelConfig(wordDim = 16, charDim = 8,
     encHidden = 12, decHidden = 12, maxDepth = 3)

@@ -277,8 +277,19 @@ final class PyramidVariantInference(base: PyramidInference, vw: VariantWeights) 
   }
 
   def detectContextual(tokens: Array[String], preTokens: Array[String],
-                       postTokens: Array[String], codec: LabelCodec): IndexedSeq[TokSpan] = {
-    val (layers, remedy) = multiForward(tokens, contextVector(preTokens, postTokens))
+                       postTokens: Array[String], codec: LabelCodec): IndexedSeq[TokSpan] =
+    detectWithContext(tokens, contextVector(preTokens, postTokens), codec)
+
+  /** N12/N13 with an externally-supplied context vector (e.g. a PRECOMPUTED
+    * sentence-transformer document embedding staged to a table — the third
+    * context-encoder family of `document_embeddings.py:169-184`, where the
+    * pooling ran offline). Must be `ctxDim` long; a zero vector is the
+    * context-absent case, matching the pooled/RNN encoders on empty context.
+    */
+  def detectWithContext(tokens: Array[String], ctx: Array[Float],
+                        codec: LabelCodec): IndexedSeq[TokSpan] = {
+    require(ctx.length == vw.ctxDim, s"context dim ${ctx.length} != ${vw.ctxDim}")
+    val (layers, remedy) = multiForward(tokens, ctx)
     codec.decodeMulti(layers, remedy, cfg.maxDepth)
   }
 

@@ -248,6 +248,34 @@ object Eval {
       spark.sparkContext.broadcast(vw), mode).toDF()
   }
 
+  /** N12 contextual decoder over the eval slice: distributed article-window
+    * grouping + pooled-context inference, driver-gated against the staged
+    * sequential gold (gold_ctx_mentions.parquet).
+    */
+  def sliceCtxPred(spark: SparkSession, sfDir: String,
+                   cfg: ModelConfig = ModelConfig()): DataFrame = {
+    val docs = DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    val model = Mentions.buildModel(docs, cfg)
+    val vw = graft.core.VariantWeights.build(Mentions.ModelSeed, cfg, Mentions.Kinds.length)
+    Mentions.detectContextual(docs, spark.sparkContext.broadcast(model),
+      spark.sparkContext.broadcast(vw)).toDF()
+  }
+
+  /** N13 precomputed-ST-context detection over the eval slice, with the
+    * staged st_embeddings.parquet joined in; gold is the sequential run with
+    * the same staged vectors.
+    */
+  def sliceStPred(spark: SparkSession, sfDir: String,
+                  cfg: ModelConfig = ModelConfig()): DataFrame = {
+    val stage = KgStage.stage(spark, sfDir)
+    val docs = DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    val model = Mentions.buildModel(docs, cfg)
+    val vw = graft.core.VariantWeights.build(Mentions.ModelSeed, cfg, Mentions.Kinds.length)
+    val st = spark.read.parquet(s"$stage/st_embeddings.parquet")
+    Mentions.detectSt(docs, st,
+      spark.sparkContext.broadcast(model), spark.sparkContext.broadcast(vw)).toDF()
+  }
+
   /** Stage-2 linking over the eval slice (mentions ⋈ slice dict). */
   def sliceLinked(spark: SparkSession, sfDir: String,
                   cfg: ModelConfig = ModelConfig()): DataFrame = {

@@ -32,7 +32,7 @@ object KgStage {
   /** bump when the staged derivation changes — part of the signature so old
     * stage dirs regenerate
     */
-  val Version = "kg-v4" // v4: Nn.tanhF switched to the exp-based form (≤1 float ulp; decode could flip on near-ties, so staged goldens regenerate)
+  val Version = "kg-v5" // v5: + gold_genia_mentions (calibrated ModelConfig.genia), gold_ctx_mentions (N12 article-window), st_embeddings + gold_st_mentions (N13 precomputed-ST context)
 
   def stageDir(sfDir: String): Path = ReaderStage.stageDir(sfDir).resolve("kg")
 
@@ -114,6 +114,34 @@ object KgStage {
       Mentions.detectDocWith(d, toks => vi.detectBidirectional(toks, model.codec))))
     writeMentions("gold_ml_mentions.parquet", slice.flatMap(d =>
       Mentions.detectDocWith(d, toks => vi.detectMultiLabel(toks, model.codec))))
+
+    // --- gold_ctx_mentions (N12): sequential contextual decode under the
+    //     article-window grouping (Mentions.ctxWindows math, driver loops)
+    writeMentions("gold_ctx_mentions.parquet",
+      slice.groupBy(d => Mentions.articleIdOf(d.doc_id)).toSeq.sortBy(_._1).flatMap {
+        case (_, arts) =>
+          Mentions.ctxWindows(arts.sortBy(_.doc_id).toIndexedSeq).flatMap {
+            case (d, pre, post) =>
+              Mentions.detectDocWith(d, toks => vi.detectContextual(toks, pre, post, model.codec))
+          }
+      })
+
+    // --- st_embeddings (N13): the precomputed per-document ST-vector table +
+    //     the sequential detection using it
+    val stDim = vw.ctxDim
+    val stRows = slice.map(d => (d.doc_id, Mentions.stVec(d.doc_id, stDim)))
+    spark.createDataset(stRows).toDF("doc_id", "emb")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("st_embeddings.parquet").toString)
+    writeMentions("gold_st_mentions.parquet", slice.flatMap(d =>
+      Mentions.detectDocWith(d,
+        toks => vi.detectWithContext(toks, Mentions.stVec(d.doc_id, stDim), model.codec))))
+
+    // --- gold_genia_mentions: sequential base detection at the GENIA-shaped
+    //     config (depth 8, 200-d words, calibrated oBias) — the reference's
+    //     real experiment size (run_nne_sigmoid.py:163-191)
+    val modelG = Mentions.buildModel(spark.createDataset(slice), ModelConfig.genia)
+    writeMentions("gold_genia_mentions.parquet", GoldRef.mentions(slice, modelG))
 
     // --- gold linked mentions: GoldRef best-candidate link over the slice
     val dictRows = GoldRef.dict(slice)

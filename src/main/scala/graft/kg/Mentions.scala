@@ -179,6 +179,107 @@ object Mentions {
     }
   }
 
+  // ------------------------------------------------------------ N12 / N13
+
+  /** Document-context grouping for the contextual decoder (N12, ref
+    * `modules/decoding/multi_label.py:47-69`): documents are grouped into
+    * articles of `CtxArticleDocs` consecutive ids (the same neighborhood the
+    * wiki reader S3 models), and each document's context is the tail of its
+    * predecessor plus the head of its successor, `CtxTokens` tokens each.
+    */
+  val CtxArticleDocs = 5
+  val CtxTokens = 16
+
+  def articleIdOf(docId: String): Long = docId.stripPrefix("d").toLong / CtxArticleDocs
+
+  def textTokens(doc: PyramidDoc): Array[String] =
+    doc.spans.filter(_.kind == "text").sortBy(_.offset).map(_.text)
+
+  /** per-doc (pre, post) context windows within one article; `sorted` must be
+    * the article's documents in doc_id order. Pure — shared by the
+    * distributed group handler and the sequential gold staging.
+    */
+  def ctxWindows(sorted: IndexedSeq[PyramidDoc]): IndexedSeq[(PyramidDoc, Array[String], Array[String])] = {
+    val toks = sorted.map(textTokens)
+    sorted.indices.map { i =>
+      val pre = if (i > 0) toks(i - 1).takeRight(CtxTokens) else Array.empty[String]
+      val post = if (i + 1 < sorted.length) toks(i + 1).take(CtxTokens) else Array.empty[String]
+      (sorted(i), pre, post)
+    }
+  }
+
+  /** flatMapGroups handler as a Serializable class: broadcast handles are
+    * serialized once; the inference engines are `@transient lazy` so each
+    * TASK builds them once and reuses them across its groups (a per-group
+    * allocation would churn the scratch buffers ~|articles| times).
+    */
+  private final class CtxGroupDetect(bcModel: Broadcast[Model], bcVar: Broadcast[VariantWeights])
+      extends ((Long, Iterator[PyramidDoc]) => Iterator[Mention]) with Serializable {
+    @transient private lazy val m = bcModel.value
+    @transient private lazy val vi =
+      new PyramidVariantInference(new PyramidInference(m.weights, m.vocab), bcVar.value)
+    def apply(aid: Long, it: Iterator[PyramidDoc]): Iterator[Mention] = {
+      val sorted = it.toIndexedSeq.sortBy(_.doc_id)
+      ctxWindows(sorted).iterator.flatMap { case (d, pre, post) =>
+        detectDocWith(d, toks => vi.detectContextual(toks, pre, post, m.codec))
+      }
+    }
+  }
+
+  /** N12 contextual detection: ONE shuffle keyed on article_id (uniform id
+    * ranges — no skew; a hot key is impossible since an article is exactly
+    * `CtxArticleDocs` docs), then per-group windowed inference. At 100 TB the
+    * shuffle is the price of cross-document context; storing the corpus
+    * bucketed by article range would remove it (the docs materialization in
+    * KgRunner is the hook).
+    */
+  def detectContextual(docs: Dataset[PyramidDoc], bcModel: Broadcast[Model],
+                       bcVar: Broadcast[VariantWeights]): Dataset[Mention] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(d => articleIdOf(d.doc_id))
+      .flatMapGroups(new CtxGroupDetect(bcModel, bcVar))
+  }
+
+  /** Deterministic stand-in for a precomputed sentence-transformer document
+    * embedding (N13 third encoder): keyed on doc_id only (a document-level
+    * vector, unlike the per-token lmVec). `dim` = the variant ctxDim.
+    */
+  def stVec(docId: String, dim: Int): Array[Float] =
+    Array.tabulate(dim) { j =>
+      val u = java.lang.Long.remainderUnsigned(Rng.streamKey(s"st#$docId#$j"), 2000001L)
+      (u / 1000000.0 - 1.0).toFloat
+    }
+
+  final case class StDocRow(doc_id: String, spans: Array[SpanRec], st: Array[Float])
+
+  /** N13 with PRECOMPUTED context vectors: one equi-join on doc_id against
+    * the staged per-document ST-vector table, then the zero-shuffle
+    * mapPartitions transform; docs missing a vector run with the zero
+    * context (the encoders' empty-context semantics).
+    */
+  def detectSt(docs: Dataset[PyramidDoc], st: DataFrame, bcModel: Broadcast[Model],
+               bcVar: Broadcast[VariantWeights]): Dataset[Mention] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val joined = docs.toDF().join(st.select(col("doc_id"), col("emb").as("st")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("spans"), col("st"))
+      .as[StDocRow]
+    val par = spark.sparkContext.defaultParallelism
+    val wide = if (joined.rdd.getNumPartitions < par) joined.repartition(par) else joined
+    wide.mapPartitions { it =>
+      val m = bcModel.value
+      val inf = new PyramidInference(m.weights, m.vocab)
+      val vi = new PyramidVariantInference(inf, bcVar.value)
+      val dim = bcVar.value.ctxDim
+      it.flatMap { row =>
+        val doc = PyramidDoc(row.doc_id, row.spans)
+        val ctx = if (row.st == null) new Array[Float](dim) else row.st
+        detectDocWith(doc, toks => vi.detectWithContext(toks, ctx, m.codec))
+      }
+    }
+  }
+
   /** Convenience: full stage-1 dataframe for SparkEntry.queries. */
   def mentionsDf(spark: SparkSession, sfDir: String, cfg: ModelConfig = ModelConfig()): DataFrame = {
     val docs = DocGen.docs(spark, sfDir)

@@ -200,6 +200,55 @@ class PyramidVariantsSpec extends AnyFunSuite {
     assert(vi.contextVector(Array.empty, Array.empty).forall(_ == 0f))
   }
 
+  test("distributed contextual detection == sequential article-window derivation (N12)") {
+    import spark.implicits._
+    val slice = docs.orderBy("doc_id").limit(100).collect().toSeq
+    val sliceDs = spark.createDataset(slice).repartition(7) // odd split on purpose
+    val got = Mentions.detectContextual(sliceDs,
+        spark.sparkContext.broadcast(model), spark.sparkContext.broadcast(vw))
+      .collect().toSeq.sortBy(m => (m.doc_id, m.order))
+    val vi = newVi()
+    val want = slice.groupBy(d => Mentions.articleIdOf(d.doc_id)).toSeq.sortBy(_._1)
+      .flatMap { case (_, arts) =>
+        Mentions.ctxWindows(arts.sortBy(_.doc_id).toIndexedSeq).flatMap {
+          case (d, pre, post) =>
+            Mentions.detectDocWith(d, toks => vi.detectContextual(toks, pre, post, model.codec))
+        }
+      }.sortBy(m => (m.doc_id, m.order))
+    assert(got == want)
+    assert(want.nonEmpty)
+    // the context is LIVE: some doc decodes differently than context-free
+    val contextFree = slice.flatMap(d =>
+      Mentions.detectDocWith(d,
+        toks => vi.detectContextual(toks, Array.empty, Array.empty, model.codec)))
+      .sortBy(m => (m.doc_id, m.order))
+    assert(want != contextFree, "article context must influence some decode")
+  }
+
+  test("distributed precomputed-context detection == sequential (N13 staged ST)") {
+    import spark.implicits._
+    val slice = docs.orderBy("doc_id").limit(60).collect().toSeq
+    val dim = vw.ctxDim
+    val stAll = slice.take(50).map(d => (d.doc_id, Mentions.stVec(d.doc_id, dim)))
+    val stDf = spark.createDataset(stAll).toDF("doc_id", "emb")
+    val sliceDs = spark.createDataset(slice).repartition(7)
+    val got = Mentions.detectSt(sliceDs, stDf,
+        spark.sparkContext.broadcast(model), spark.sparkContext.broadcast(vw))
+      .collect().toSeq.sortBy(m => (m.doc_id, m.order))
+    val vi = newVi()
+    val stMap = stAll.toMap
+    val want = slice.flatMap(d =>
+      Mentions.detectDocWith(d, toks => vi.detectWithContext(toks,
+        stMap.getOrElse(d.doc_id, new Array[Float](dim)), model.codec)))
+      .sortBy(m => (m.doc_id, m.order))
+    assert(got == want)
+    // docs 50..59 had no staged vector → zero-context semantics, still parsed
+    assert(want.nonEmpty)
+    intercept[IllegalArgumentException] {
+      vi.detectWithContext(Array("alpha"), new Array[Float](dim + 1), model.codec)
+    }
+  }
+
   test("distributed variant detection == sequential re-derivation (both modes)") {
     import spark.implicits._
     val bcM = spark.sparkContext.broadcast(model)

@@ -65,6 +65,21 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(gold.nonEmpty, "gold mention set empty — model bias miscalibrated")
   }
 
+  test("GENIA-shaped config: distributed == sequential, deep layers exercised") {
+    import spark.implicits._
+    val slice = goldDocs.take(60)
+    val modelG = Mentions.buildModel(spark.createDataset(slice), ModelConfig.genia)
+    val bc = spark.sparkContext.broadcast(modelG)
+    val got = Mentions.detect(spark.createDataset(slice).repartition(7), bc)
+      .collect().toSeq.sortBy(m => (m.doc_id, m.order))
+    val want = GoldRef.mentions(slice, modelG).sortBy(m => (m.doc_id, m.order))
+    assert(got == want)
+    assert(want.nonEmpty, "calibrated genia config must detect mentions")
+    // depth-8 pyramid actually fires beyond the default config's depth 4
+    assert(want.exists(m => m.len > ModelConfig().maxDepth),
+      "no mention longer than the default depth — genia layers 5..8 unexercised")
+  }
+
   test("alias dictionary matches the sequential re-derivation") {
     val got = AliasDict.build(DocGen.docs(spark, sfDir))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
