@@ -765,6 +765,7 @@ object SparkEntry {
          |  md5(media_ref || '#f' || frame_idx) AS payload_hex
          |FROM fr""".stripMargin,
     "sim_ann_lsh" -> annLshSql,
+    "sim_ann_ivf" -> annIvfSql,
     "dedup_embcos" -> embCosSql,
     // E3/M4 metrics tables: distributed pred is hash-equal to staged gold
     // (kg_mentions_slice), so the exact metrics table is derivable from gold
@@ -919,6 +920,41 @@ object SparkEntry {
        |WHERE a.vec_id < b.vec_id
        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
        |      >= ${Dedup.EmbDupThreshold}""".stripMargin
+
+  /** IVF ANN oracle: the float-iterative k-means itself is not
+    * SQL-expressible, but given the STAGED converged centroids
+    * (ivf_centroids.parquet, written by Similarity.kmeansCentroids) the
+    * assignment → probe → exact-cosine re-rank is — this re-derives the full
+    * candidate set and ranking in DuckDB. Selection uses the 6dp-rounded
+    * cosine on both sides; ties break (score DESC, cluster DESC), matching
+    * Spark's reverse(array_sort(struct(s, k))).
+    */
+  private lazy val annIvfSql: String =
+    s"""WITH cents AS (
+       |  SELECT cluster, centroid
+       |  FROM read_parquet('$StagePath/ivf_centroids.parquet/*.parquet')),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cluster,
+       |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) AS s
+       |  FROM embeddings e CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster DESC) AS r
+       |  FROM scored),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cluster FROM ranked WHERE r <= ${Similarity.IvfAssignRep}),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q, cluster
+       |  FROM ranked WHERE r <= ${Similarity.IvfProbes} AND vec_id % ${Similarity.QueryMod} = 0),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.q::DOUBLE[], a.embedding::DOUBLE[]), 6) AS cosine
+       |  FROM assigned a JOIN probes p USING (cluster)
+       |  WHERE a.vec_id <> p.query_id),
+       |rr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM cand)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+       |FROM rr WHERE rank <= ${Similarity.TopK}""".stripMargin
 
   private lazy val annLshSql: String = {
     s"""WITH $lshBandsCte,

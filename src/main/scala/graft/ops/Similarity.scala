@@ -83,11 +83,14 @@ object Similarity {
   val KmeansIters = 8
 
   /** 32 cosine scores against broadcast centroid literals, as one codegen'd
-    * array of (score, cluster) structs.
+    * array of (score, cluster) structs. Scores are 6dp-ROUNDED before any
+    * ordering decision — the same trick as the LSH signature bits — so the
+    * DuckDB oracle computing round(list_cosine_similarity, 6) over the
+    * STAGED centroids makes identical assignment/probe selections.
     */
   private def centroidScores(emb: Column, cents: Seq[Array[Float]]): Column =
     array(cents.zipWithIndex.map { case (c, k) =>
-      struct(Fns.cosine_sim(emb, typedlit(c)).as("s"), lit(k).as("k"))
+      struct(round(Fns.cosine_sim(emb, typedlit(c)), 6).as("s"), lit(k).as("k"))
     }: _*)
 
   /** Seeded spherical k-means centroids, run as DataFrame jobs: assignment is
@@ -118,6 +121,16 @@ object Similarity {
         cents = next.toSeq
       }
       e.unpersist()
+      // stage the CONVERGED index to the oracle-visible dir: the k-means
+      // float iteration is not SQL-expressible, but given fixed centroids the
+      // assignment → probe → exact-cosine re-rank IS — the DuckDB gate
+      // re-derives the full candidate set from this table (32 rows)
+      import spark.implicits._
+      spark.createDataset(cents.zipWithIndex.map { case (c, k) => (k, c) })
+        .toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(graft.sources.ReaderStage.stageDir(sfDir)
+          .resolve("ivf_centroids.parquet").toString)
       cents
     })
 
