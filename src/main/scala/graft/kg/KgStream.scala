@@ -95,4 +95,58 @@ object KgStream {
     sliceDocs.unpersist()
     spark.table(name)
   }
+
+  /** Durable variant — the checkpoint/resume story of the streaming ingest:
+    * detected + linked mentions APPEND to a parquet FILE sink under a real
+    * `checkpointLocation`. Exactly-once across a kill/resume comes from the
+    * two standard Structured Streaming logs: the source offset log (which
+    * files each batch id covers) and the file-sink `_spark_metadata` commit
+    * log (which output files are committed — readers of the sink directory
+    * see only those, so a batch killed mid-write leaves no visible rows and
+    * is re-run identically on restart). KgStreamSpec stops the query after
+    * the first commit and resumes; the union of the two runs must equal the
+    * batch linking exactly.
+    *
+    * `srcDir`: a directory of parquet files with (doc_id long, text string) —
+    * at `maxFilesPerTrigger = 1` each file is its own micro-batch, giving the
+    * kill a batch boundary to land on. Returns the running query plus a
+    * cleanup thunk (static-side unpersist) for the caller.
+    */
+  def linkedCheckpointed(spark: SparkSession, sfDir: String, srcDir: String,
+                         sinkDir: String, checkpointDir: String,
+                         maxFilesPerTrigger: Int = 1,
+                         availableNow: Boolean = false)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => Unit) = {
+    import spark.implicits._
+
+    // static side: fixed model + dict over the same slice as linkedStream
+    val sliceDocs = DocGen.docs(spark, sfDir)
+      .orderBy("doc_id").limit(Eval.EvalSliceDocs).cache()
+    val model = Mentions.buildModel(sliceDocs, ModelConfig())
+    val bc = spark.sparkContext.broadcast(model)
+    val dict = AliasDict.build(sliceDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    val docsStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .select($"doc_id".as[Long], $"text".as[String])
+      .map { case (id, text) => DocGen.assemble(DocGen.docIdOf(id), text) }
+
+    val mentions = docsStream.mapPartitions { it =>
+      val m = bc.value
+      val inf = new graft.core.PyramidInference(m.weights, m.vocab)
+      it.flatMap(doc => Mentions.detectDoc(doc, inf, m.codec))
+    }.toDF()
+
+    val writer = Link.link(mentions, dict)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+    val q = (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    (q, () => { dict.unpersist(); sliceDocs.unpersist() })
+  }
 }
