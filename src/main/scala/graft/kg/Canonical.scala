@@ -131,6 +131,20 @@ object Canonical {
       .toDF("entity_id", "canonical_id")
   }
 
+  /** canonical-map rows above which the broadcast join flips to shuffle —
+    * same sizing rationale as Link.BroadcastMaxAliases (the map rows are
+    * narrower, so the threshold is higher).
+    */
+  val BroadcastMaxMapRows = 2000000L
+
+  /** Size-guarded canonicalize: the map is an aggregate the caller usually
+    * persists, so the count probe is cheap; broadcast vs shuffle follows the
+    * actual row count instead of a static flag.
+    */
+  def canonicalizeAuto(linked: DataFrame, canonMap: DataFrame,
+                       maxBroadcastRows: Long = BroadcastMaxMapRows): DataFrame =
+    canonicalize(linked, canonMap, useBroadcast = canonMap.count() <= maxBroadcastRows)
+
   /** apply the canonical map to linked mentions; map is usually ≪ corpus →
     * broadcast, but caller can disable for huge KBs.
     */

@@ -30,6 +30,22 @@ object Link {
     * KB-scale dictionaries (10⁸ aliases would OOM the driver broadcast) —
     * same escape hatch as Canonical.canonicalize.
     */
+  /** dict rows above which the pre-aggregated candidate table stops being
+    * broadcastable: ~100 B per alias row → ~100 MB at this threshold, the
+    * upper edge of comfortable executor broadcast. A corpus-derived dict
+    * stays far under it; a KB-scale dict (10^8 aliases) trips the shuffle
+    * path automatically.
+    */
+  val BroadcastMaxAliases = 1000000L
+
+  /** Size-guarded link: probes the dict row count (cheap — callers persist
+    * the dict; an upper bound on distinct aliases) and picks broadcast vs
+    * shuffle join from it, so the 100 TB configuration needs no hand flag.
+    */
+  def linkAuto(mentions: DataFrame, dict: DataFrame,
+               maxBroadcastRows: Long = BroadcastMaxAliases): DataFrame =
+    link(mentions, dict, useBroadcast = dict.count() <= maxBroadcastRows)
+
   def link(mentions: DataFrame, dict: DataFrame, useBroadcast: Boolean = true): DataFrame = {
     val best0 = bestCandidates(dict)
     val best = if (useBroadcast) broadcast(best0) else best0

@@ -86,6 +86,12 @@ object KgRunner {
     val model = Mentions.buildModel(allDocs.drop("bucket").as[PyramidDoc], cfg)
     val bc = spark.sparkContext.broadcast(model)
 
+    // size-guarded join strategy, decided ONCE per run (parquet counts are
+    // metadata-cheap) instead of per bucket — a KB-scale dict/canon table
+    // flips every bucket's plan to the shuffle join automatically
+    val dictBroadcastOk = dict.count() <= Link.BroadcastMaxAliases
+    val canonBroadcastOk = canonMap.count() <= Canonical.BroadcastMaxMapRows
+
     // ---- per-bucket processing with manifest commits
     val done = committedBuckets(out)
     val processed = scala.collection.mutable.ArrayBuffer.empty[BucketResult]
@@ -97,8 +103,8 @@ object KgRunner {
         val docsB = io.readBucket(spark, "docs", b).as[PyramidDoc]
         val mentions = Mentions.detect(docsB, bc).toDF().cache()
         try {
-          val linked = Link.link(mentions, dict)
-          val canon = Canonical.canonicalize(linked, canonMap)
+          val linked = Link.link(mentions, dict, useBroadcast = dictBroadcastOk)
+          val canon = Canonical.canonicalize(linked, canonMap, useBroadcast = canonBroadcastOk)
           val triples = Triples.fromCanonical(canon)
           io.writeBucket(triples, "triples", b)
           // per-task lineage: mentions live in the same stage as the pruned

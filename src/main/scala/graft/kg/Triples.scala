@@ -88,16 +88,20 @@ object Triples {
     // broadcast link join and the CC edge derivation — persist or compute 2×
     val dict = AliasDict.build(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val linked = Link.link(mentions, dict)
+    // size-guarded joins: the dict/canon-map row-count probes (cheap on the
+    // persisted frames) pick broadcast vs shuffle automatically, so a
+    // KB-scale dictionary flips the plan without a config change
+    val linked = Link.linkAuto(mentions, dict)
     val canonMap = Canonical.connectedComponents(Canonical.edgesFromDict(dict))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fromCanonical fans out into four triple families; without a persist the
     // pyramid-inference subtree would be recomputed once PER FAMILY (the
     // exchanges differ, so Catalyst cannot reuse them). At cluster scale this
     // is the stage boundary you'd materialize to a staging table (KgRunner
     // does exactly that per bucket).
-    val canon = Canonical.canonicalize(linked, canonMap)
+    val canon = Canonical.canonicalizeAuto(linked, canonMap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    PipelineHandle(fromCanonical(canon), Seq(dict, canon))
+    PipelineHandle(fromCanonical(canon), Seq(dict, canonMap, canon))
   }
 
   def pipelineFrom(docs: org.apache.spark.sql.Dataset[PyramidDoc],

@@ -229,20 +229,47 @@ object ReaderStage {
   val WvDims = 8
   val WvWords = 64
 
+  /** word-vector lexicon + deterministic values, shared by the csv and .bin
+    * stagings so the two S9 branches are cross-checkable.
+    */
+  def wvWords(docs: Seq[(Long, String)]): Seq[String] =
+    docs.iterator.flatMap(d => Tok.tokenize(sanitize(d._2)))
+      .map(GoldRef.lower).filter(_.forall(c => c.isLetterOrDigit))
+      .toSeq.distinct.sorted.take(WvWords)
+
+  def wvValue(word: String, dim: Int): Float = {
+    val u = java.lang.Long.remainderUnsigned(Rng.streamKey(s"wv#$word#$dim"), 2000001L)
+    f"${u / 1000000.0 - 1.0}%.6f".toFloat
+  }
+
   /** GloVe-style csv (S9, `genia/utils/load_wv.py:5-24`): one `word,v0..v7`
     * line per lexicon word; values are pure functions of (word, dim).
     */
-  def gloveCsv(docs: Seq[(Long, String)]): String = {
-    val words = docs.iterator.flatMap(d => Tok.tokenize(sanitize(d._2)))
-      .map(GoldRef.lower).filter(_.forall(c => c.isLetterOrDigit))
-      .toSeq.distinct.sorted.take(WvWords)
-    words.map { w =>
-      val vs = (0 until WvDims).map { j =>
-        val u = java.lang.Long.remainderUnsigned(Rng.streamKey(s"wv#$w#$j"), 2000001L)
-        f"${u / 1000000.0 - 1.0}%.6f"
-      }
-      (w +: vs).mkString(",")
+  def gloveCsv(docs: Seq[(Long, String)]): String =
+    wvWords(docs).map { w =>
+      (w +: (0 until WvDims).map(j => f"${wvValue(w, j)}%.6f")).mkString(",")
     }.mkString("", "\n", "\n")
+
+  /** word2vec C binary (the `.bin` branch of S9, ref `genia/utils/load_wv.py`
+    * via wvlib): ASCII header `"<n> <dim>\n"`, then per record the UTF-8 word,
+    * one 0x20, `dim` little-endian float32s, and a trailing `'\n'`. Same
+    * lexicon and (6dp-quantized) values as glove.csv, so the two branches
+    * must load byte-identical matrices.
+    */
+  def word2vecBin(docs: Seq[(Long, String)]): Array[Byte] = {
+    val words = wvWords(docs)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"${words.length} $WvDims\n".getBytes(StandardCharsets.US_ASCII))
+    words.foreach { w =>
+      bos.write(w.getBytes(StandardCharsets.UTF_8))
+      bos.write(' ')
+      val bb = java.nio.ByteBuffer.allocate(4 * WvDims)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until WvDims).foreach(j => bb.putFloat(wvValue(w, j)))
+      bos.write(bb.array())
+      bos.write('\n')
+    }
+    bos.toByteArray
   }
 
   // ---------------------------------------------------------------- layout
@@ -256,8 +283,10 @@ object ReaderStage {
   def stageDir(sfDir: String): Path =
     Paths.get(StageRoot, Paths.get(sfDir).getFileName.toString)
 
-  private def writeIfChanged(p: Path, content: String): Unit = {
-    val bytes = content.getBytes(StandardCharsets.UTF_8)
+  private def writeIfChanged(p: Path, content: String): Unit =
+    writeBytesIfChanged(p, content.getBytes(StandardCharsets.UTF_8))
+
+  private def writeBytesIfChanged(p: Path, bytes: Array[Byte]): Unit = {
     if (!Files.exists(p) || !java.util.Arrays.equals(Files.readAllBytes(p), bytes)) {
       val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
       Files.write(tmp, bytes)
@@ -274,7 +303,7 @@ object ReaderStage {
     * signature otherwise hashes only the INPUT corpus, and an old stage dir
     * would silently short-circuit the new outputs
     */
-  val StageVersion = "stage-v2"
+  val StageVersion = "stage-v3" // v3: + vectors.bin (word2vec C binary, S9 second branch)
 
   private def signature(docs: Seq[(Long, String)]): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -301,6 +330,7 @@ object ReaderStage {
     writeIfChanged(dir.resolve("docs.jsonl"), docsJsonl(docs))
     writeIfChanged(dir.resolve("wiki.jsonl"), wikiJsonl(docs))
     writeIfChanged(dir.resolve("glove.csv"), gloveCsv(docs))
+    writeBytesIfChanged(dir.resolve("vectors.bin"), word2vecBin(docs))
     wrgRecords(docs).groupBy(_._1).foreach { case (shard, recs) =>
       writeIfChanged(dir.resolve(s"wrg/part-$shard.wrg"),
         recs.map(_._2).mkString("\n") + "\n")

@@ -242,4 +242,47 @@ object Readers {
     }
     WordVectors(rows.map(_._1), pad +: rows.map(_._2) :+ unk)
   }
+
+  /** word2vec C-binary loader (the `.bin` branch of S9, ref
+    * `genia/utils/load_wv.py:5-24` + wvlib): ASCII header `"<n> <dim>\n"`,
+    * then per record a space-terminated word followed by `dim` little-endian
+    * float32s and an optional `'\n'`. Driver-side like the csv branch —
+    * embedding files are dimension tables, not corpus data — with the same
+    * PAD-row / seeded-UNK augmentation, so both branches produce
+    * interchangeable WordVectors.
+    */
+  def loadWordVectorsBin(path: String): WordVectors = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    var p = 0
+    def readUntil(stop: Byte): String = {
+      val s = p
+      while (p < bytes.length && bytes(p) != stop) p += 1
+      val out = new String(bytes, s, p - s, java.nio.charset.StandardCharsets.UTF_8)
+      p += 1 // consume the stop byte
+      out
+    }
+    val header = readUntil('\n').trim.split("\\s+")
+    require(header.length == 2, s"malformed word2vec header: ${header.mkString(" ")}")
+    val (n, dims) = (header(0).toInt, header(1).toInt)
+    val words = new Array[String](n)
+    val vecs = new Array[Array[Float]](n)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      // some writers pad records with leading newlines — skip, like wvlib
+      while (p < bytes.length && (bytes(p) == '\n' || bytes(p) == ' ')) p += 1
+      words(i) = readUntil(' ')
+      val v = new Array[Float](dims)
+      var j = 0
+      while (j < dims) { v(j) = bb.getFloat(p); p += 4; j += 1 }
+      vecs(i) = v
+      i += 1
+    }
+    val pad = Array.fill(dims)(0f)
+    val unk = Array.tabulate(dims) { j =>
+      val u = java.lang.Long.remainderUnsigned(Rng.streamKey(s"wv#<unk>#$j"), 2000001L)
+      (u / 1000000.0 - 1.0).toFloat
+    }
+    WordVectors(words, pad +: vecs.toIndexedSeq.toArray :+ unk)
+  }
 }

@@ -153,6 +153,34 @@ class KgPipelineSpec extends AnyFunSuite {
       rows(Link.link(mentions, dict, useBroadcast = false)))
   }
 
+  test("size-guarded joins pick broadcast below the threshold, shuffle above (crossover)") {
+    val docs = DocGen.docs(spark, sfDir)
+    val bc = spark.sparkContext.broadcast(model)
+    val mentions = Mentions.detect(docs, bc).toDF()
+    val dict = AliasDict.build(docs).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    // our STRATEGY choice lives in the optimized logical plan as a join hint
+    // (the physical plan can't witness it: AQE re-broadcasts tiny inputs on
+    // its own, which is fine — the guard is about not FORCING a huge one)
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("strategy=broadcast")
+    val below = Link.linkAuto(mentions, dict) // dict ≪ default threshold
+    val above = Link.linkAuto(mentions, dict, maxBroadcastRows = 0)
+    assert(hinted(below), "small dict must take the broadcast hint")
+    assert(!hinted(above), "above-threshold dict must not be force-broadcast")
+    assert(rows(below) == rows(above), "strategy must not change the result")
+
+    val canonMap = Canonical.connectedComponents(Canonical.edgesFromDict(dict)).cache()
+    // build on the UNhinted linked frame: `below` carries the link join's
+    // broadcast hint in its plan string, which would mask this join's choice
+    val cBelow = Canonical.canonicalizeAuto(above, canonMap)
+    val cAbove = Canonical.canonicalizeAuto(above, canonMap, maxBroadcastRows = 0)
+    assert(hinted(cBelow) && !hinted(cAbove))
+    assert(rows(cBelow) == rows(cAbove))
+    dict.unpersist(); canonMap.unpersist()
+  }
+
   test("simhash64 production variant: identical docs collide, bits are stable") {
     val sig = graft.ops.Dedup.simhash64(spark, sfDir)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

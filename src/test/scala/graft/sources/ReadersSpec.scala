@@ -210,6 +210,21 @@ class ReadersSpec extends AnyFunSuite {
     assert(wv.idOf(wv.lexicon(0)) == 1)
   }
 
+  test("word2vec .bin loader == csv loader on the shared staging (S9 second branch)") {
+    val csv = Readers.loadWordVectors(spark, s"$stageDir/glove.csv")
+    val bin = Readers.loadWordVectorsBin(s"$stageDir/vectors.bin")
+    assert(bin.lexicon.toSeq == csv.lexicon.toSeq)
+    assert(bin.matrix.length == csv.matrix.length)
+    bin.matrix.zip(csv.matrix).zipWithIndex.foreach { case ((b, c), i) =>
+      assert(b.toSeq == c.toSeq, s"matrix row $i") // float-exact: both quantize to 6dp
+    }
+    assert(bin.idOf("definitely-not-a-word") == bin.unkId)
+    // header malformation is rejected, not misparsed
+    val badPath = java.nio.file.Files.createTempFile("wv_bad", ".bin")
+    java.nio.file.Files.write(badPath, "garbage\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { Readers.loadWordVectorsBin(badPath.toString) }
+  }
+
   // ------------------------------------------------------------------- S7
 
   test("simple wrg reader: token-span projection matches the staged tags (S7)") {
