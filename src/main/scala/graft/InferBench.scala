@@ -3,7 +3,7 @@ package graft
 import graft.core._
 
 /** Dev utility: single-threaded Pyramid-inference microbenchmark
-  * (usage: runMain graft.InferBench [reps] [sentences]).
+  * (usage: runMain graft.InferBench [reps] [sentences] [cfg: default|genia]).
   *
   * Prints tokens/s per rep plus a decode checksum — the checksum must be
   * invariant across kernel-level optimizations (the Nn GEMV kernels are
@@ -14,7 +14,7 @@ object InferBench {
   def main(args: Array[String]): Unit = {
     val reps = args.lift(0).map(_.toInt).getOrElse(5)
     val nSent = args.lift(1).map(_.toInt).getOrElse(192)
-    val cfg = ModelConfig()
+    val cfg = if (args.lift(2).contains("genia")) ModelConfig.genia else ModelConfig()
     val lex = Array.tabulate(2000)(i => s"tok$i")
     val vocab = new WordVocab(lex)
     val w = PyramidWeights.build(42L, cfg, vocab.size, 8)

@@ -16,20 +16,31 @@ import graft.core._
   * is the cluster-relevant one. Both are reported; neither is hidden.
   */
 object InferCalib {
-  private lazy val setup = {
-    val cfg = ModelConfig()
-    val lex = Array.tabulate(2000)(i => s"tok$i")
-    val vocab = new WordVocab(lex)
-    val w = PyramidWeights.build(42L, cfg, vocab.size, 8)
-    val rnd = new java.util.Random(7)
-    val sents = Array.tabulate(256) { _ =>
-      Array.tabulate(8 + rnd.nextInt(40))(_ => lex(rnd.nextInt(lex.length)))
-    }
-    (w, vocab, sents)
-  }
+  /** The probe must match the JOB's kernel shape: the ceiling is
+    * width-dependent through the embedding-table gather (a genia-shaped
+    * model randomly reads a ~40 MB word-embedding table — DRAM/L3-bound at
+    * 16 threads in a way the default config's 0.4 MB table never is), so a
+    * default-config ceiling would overstate what the machine offers a
+    * genia-config job. ScalingBench passes the run's cfg + the REAL model's
+    * vocab size.
+    */
+  private val setups = scala.collection.concurrent.TrieMap
+    .empty[(ModelConfig, Int), (PyramidWeights, WordVocab, Array[Array[String]])]
 
-  private def burst(threads: Int, wallSec: Double): Double = {
-    val (w, vocab, sents) = setup
+  private def setup(cfg: ModelConfig, vocabSize: Int) =
+    setups.getOrElseUpdate((cfg, vocabSize), {
+      val lex = Array.tabulate(vocabSize)(i => s"tok$i")
+      val vocab = new WordVocab(lex)
+      val w = PyramidWeights.build(42L, cfg, vocab.size, 8)
+      val rnd = new java.util.Random(7)
+      val sents = Array.tabulate(256) { _ =>
+        Array.tabulate(8 + rnd.nextInt(40))(_ => lex(rnd.nextInt(lex.length)))
+      }
+      (w, vocab, sents)
+    })
+
+  private def burst(threads: Int, wallSec: Double, cfg: ModelConfig, vocabSize: Int): Double = {
+    val (w, vocab, sents) = setup(cfg, vocabSize)
     val deadline = System.nanoTime() + (wallSec * 1e9).toLong
     val tokens = new AtomicLong
     val ts = Array.tabulate(threads) { _ =>
@@ -50,8 +61,19 @@ object InferCalib {
   }
 
   /** per-thread tokens/s at `threads` (2 s JIT warm-up burst, then measure) */
-  def perThread(threads: Int, wallSec: Double = 8.0): Double = {
-    burst(threads, 2.0)
-    burst(threads, wallSec)
+  def perThread(threads: Int, wallSec: Double = 8.0, cfg: ModelConfig = ModelConfig(),
+                vocabSize: Int = 2000): Double = {
+    burst(threads, 2.0, cfg, vocabSize)
+    burst(threads, wallSec, cfg, vocabSize)
+  }
+
+  /** standalone probe: runMain graft.InferCalib <threads>... [genia] [vocabSize] */
+  def main(args: Array[String]): Unit = {
+    val cfg = if (args.contains("genia")) ModelConfig.genia else ModelConfig()
+    val vocabSize = args.filter(_.forall(_.isDigit)).drop(1).headOption.map(_.toInt)
+      .getOrElse(if (args.contains("genia")) 50000 else 2000)
+    val threads = args.filter(_.forall(_.isDigit)).headOption.map(_.toInt).getOrElse(4)
+    val r = perThread(threads, cfg = cfg, vocabSize = vocabSize)
+    println(f"[infercalib] threads=$threads vocab=$vocabSize ${r}%.0f tokens/s/thread")
   }
 }

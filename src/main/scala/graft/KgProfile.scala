@@ -7,7 +7,7 @@ import graft.kg._
 
 /** Dev utility: per-stage wall times of the full KG pipeline, isolated by
   * persisting each stage before timing the next
-  * (usage: runMain graft.KgProfile [sfDir] [cpus] [amplify]).
+  * (usage: runMain graft.KgProfile [sfDir] [cpus] [amplify] [cfg] [partsFactor]).
   *
   * Used to attribute the serial (non-core-scaling) component of the
   * ScalingBench intercept: run at two cpu levels and diff the stage times.
@@ -24,6 +24,8 @@ object KgProfile {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val cpus = args.lift(1).map(_.toInt).getOrElse(32)
     val amplify = args.lift(2).map(_.toInt).getOrElse(32)
+    val cfg = if (args.lift(3).contains("genia")) ModelConfig.genia else ModelConfig()
+    val partsFactor = args.lift(4).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -35,9 +37,10 @@ object KgProfile {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val docs = DocGen.amplifiedDocs(spark, sfDir, amplify).cache()
+    val docs0 = DocGen.amplifiedDocs(spark, sfDir, amplify)
+    val docs = (if (partsFactor > 1) docs0.repartition(partsFactor * cpus) else docs0).cache()
     t("docs cache")(docs.count())
-    val model = t("model build")(Mentions.buildModel(docs, ModelConfig()))
+    val model = t("model build")(Mentions.buildModel(docs, cfg))
 
     for (rep <- 0 until 2) {
       println(s"[kgprofile] --- rep $rep (cpus=$cpus amplify=$amplify) ---")

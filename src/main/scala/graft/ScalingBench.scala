@@ -12,7 +12,9 @@ import graft.kg.{DocGen, Mentions, Triples}
   * raw and machine-ceiling-normalized scaling efficiency
   * (thr@4N / thr@N) / 4, and writes BENCH/BASELINE.md.
   *
-  * Usage: runMain graft.ScalingBench [sfDir] [N] [amplify]
+  * Usage: runMain graft.ScalingBench [sfDir] [N] [amplify] [cfg] —
+  * `cfg` is `default` or `genia` (the reference's real experiment shape;
+  * writes BENCH/BASELINE_GENIA.md instead of BENCH/BASELINE.md).
   */
 object ScalingBench {
 
@@ -36,7 +38,8 @@ object ScalingBench {
     os.getProcessCpuTime / 1e9
   }
 
-  def runLevel(cpus: Int, sfDir: String, amplify: Int, reps: Int): Level = {
+  def runLevel(cpus: Int, sfDir: String, amplify: Int, reps: Int,
+               cfg: ModelConfig = ModelConfig()): Level = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
@@ -49,7 +52,7 @@ object ScalingBench {
     try {
       val docs = DocGen.amplifiedDocs(spark, sfDir, amplify).cache()
       docs.count() // materialize input outside the timed region
-      val model = Mentions.buildModel(docs, ModelConfig())
+      val model = Mentions.buildModel(docs, cfg)
       val tokens = docs.toDF()
         .selectExpr("sum(size(filter(spans, s -> s.kind = 'text')))").head().getLong(0)
       var triples = 0L
@@ -81,7 +84,7 @@ object ScalingBench {
       docs.unpersist()
       // machine ceiling at this width: embarrassingly-parallel per-thread
       // throughput (run after the Spark reps, same JVM, warm JIT)
-      val calib = InferCalib.perThread(cpus)
+      val calib = InferCalib.perThread(cpus, cfg = cfg, vocabSize = model.vocab.size)
       Level(cpus, best, triples, tokens, triples / best, tokens / best,
         loadSum / reps, cpuSum / reps, calib)
     } finally {
@@ -95,10 +98,12 @@ object ScalingBench {
     val sfDir = args.lift(0).getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val n = args.lift(1).map(_.toInt).getOrElse(8)
     val amplify = args.lift(2).map(_.toInt).getOrElse(16)
+    val cfgName = args.lift(3).getOrElse("default")
+    val cfg = if (cfgName == "genia") ModelConfig.genia else ModelConfig()
     val reps = 3
 
-    val lo = runLevel(n, sfDir, amplify, reps)
-    val hi = runLevel(4 * n, sfDir, amplify, reps)
+    val lo = runLevel(n, sfDir, amplify, reps, cfg)
+    val hi = runLevel(4 * n, sfDir, amplify, reps, cfg)
     val efficiency = (hi.triplesPerSec / lo.triplesPerSec) / 4.0
     // the machine's own ceiling for a zero-coordination workload at 4N vs N
     // threads (single box: shared LLC + hypervisor steal + full-width turbo);
@@ -108,7 +113,7 @@ object ScalingBench {
 
     val json =
       s"""{"metric":"scaling_efficiency","value":$efficiency,"unit":"ratio",""" +
-        s""""sf":"$sfDir","amplify":$amplify,"docs_tokens":${lo.tokens},""" +
+        s""""sf":"$sfDir","amplify":$amplify,"cfg":"$cfgName","docs_tokens":${lo.tokens},""" +
         s""""triples":${lo.triples},""" +
         s""""n_cpus":${lo.cpus},"triples_per_sec_N":${lo.triplesPerSec},""" +
         s""""wall_sec_N":${lo.bestSec},""" +
@@ -125,7 +130,7 @@ object ScalingBench {
       s"""# BENCH/BASELINE — measured results
          |
          |KG pipeline (docs → pyramid mentions → link → canonicalize → triples),
-         |identical job + identical input at two parallelism levels
+         |identical job + identical input at two parallelism levels (model config: $cfgName)
          |(`local[${lo.cpus}]` vs `local[${hi.cpus}]`, the sandbox stand-in for N vs 4N
          |executors per the driver instruction). Minimum of $reps runs (least-contended
          |sample on a shared host — see ScalingBench.runLevel), warm-up excluded.
@@ -158,6 +163,7 @@ object ScalingBench {
          |- JSON: `$json`
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    val out = if (cfgName == "genia") "BENCH/BASELINE_GENIA.md" else "BENCH/BASELINE.md"
+    Files.writeString(Paths.get(out), md)
   }
 }

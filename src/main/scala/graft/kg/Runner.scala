@@ -32,7 +32,7 @@ object KgRunner {
 
   def run(spark: SparkSession, sfDir: String, outDir: String, buckets: Int = 8,
           cfg: ModelConfig = ModelConfig(), failAfter: Option[Int] = None,
-          tableIO: Option[TableIO] = None): RunReport = {
+          tableIO: Option[TableIO] = None, amplify: Int = 1): RunReport = {
     import spark.implicits._
     // table layout behind the TableIO seam (Parquet emulation by default;
     // an Iceberg-catalog implementation is a config swap — SURVEY §7)
@@ -58,16 +58,20 @@ object KgRunner {
         rec
       } else {
         val tmp = out.resolve(".tmp-run.json")
-        Files.writeString(tmp, s"""{"buckets":$buckets,"sf_dir":"$sfDir"}""")
+        Files.writeString(tmp, s"""{"buckets":$buckets,"sf_dir":"$sfDir","amplify":$amplify}""")
         Files.move(tmp, runManifest, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
         buckets
       }
 
-    // ---- stage 0: bucketed docs materialization (once; partition-pruned reads)
+    // ---- stage 0: bucketed docs materialization (once; partition-pruned
+    // reads). `amplify` only matters here — resumes read the materialized
+    // table, so the first run's corpus wins (recorded in run.json).
     if (!io.exists("docs")) {
+      val src = if (amplify > 1) DocGen.amplifiedDocs(spark, sfDir, amplify)
+                else DocGen.docs(spark, sfDir)
       io.writeBucketed(
-        DocGen.docs(spark, sfDir).toDF()
+        src.toDF()
           .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(effBuckets))),
         "docs", "bucket")
     }

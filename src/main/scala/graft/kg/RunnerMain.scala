@@ -18,9 +18,10 @@ import org.apache.spark.sql.SparkSession
   */
 object RunnerMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: RunnerMain <sfDir> <outDir> [buckets]")
+    require(args.length >= 2, "usage: RunnerMain <sfDir> <outDir> [buckets] [amplify]")
     val Array(sfDir, outDir) = args.take(2)
     val buckets = args.lift(2).map(_.toInt).getOrElse(32)
+    val amplify = args.lift(3).map(_.toInt).getOrElse(1)
     val builder = SparkSession.builder()
       .appName("graft-kg-runner")
       .config("spark.sql.adaptive.enabled", "true")
@@ -32,7 +33,7 @@ object RunnerMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
-    val report = KgRunner.run(spark, sfDir, outDir, buckets)
+    val report = KgRunner.run(spark, sfDir, outDir, buckets, amplify = amplify)
     val wall = (System.nanoTime() - t0) / 1e9
     val nTriples = report.totalTriples
     println(
