@@ -317,6 +317,12 @@ object SparkEntry {
       "src_wrg_twin" -> ((s, dir) =>
         Readers.wrgTokenWindow(s, s"${stagePath(s, dir)}/wrg", windowSize = 16)
           .select(col("file"), col("idx"), col("text"), col("pre_ctx"), col("post_ctx"))),
+      "src_iob2" -> ((s, dir) =>
+        Readers.iob2(s, s"${stagePath(s, dir)}/iob2").toDF()
+          .select(col("file"), col("idx"), col("text"), explode_outer(col("entities")).as("e"))
+          .select(col("file"), col("idx"), col("text"), col("e.kind").as("kind"),
+            col("e.value").as("value"), col("e.start_c").as("start_c"),
+            col("e.end_c").as("end_c"))),
       "src_wordvec" -> ((s, dir) => {
         val wv = Readers.loadWordVectors(s, s"${stagePath(s, dir)}/glove.csv")
         import s.implicits._
@@ -651,6 +657,20 @@ object SparkEntry {
          |FROM sent JOIN ent ON sent.id = ent.eid
          |  AND e.start >= s_start AND e.start < next_start
          |GROUP BY ALL""".stripMargin,
+    // the oracle parses the CONVERTER's own output (iob2_rasa.json, the
+    // reference iob2_to_rasa.py semantics run sequentially at stage time) —
+    // the distributed iob2 parse must agree with the sequential converter
+    "src_iob2" ->
+      s"""WITH files AS (SELECT file, rasa FROM read_json('$StagePath/iob2_rasa.json')),
+         |exi AS (SELECT file, rasa.rasa_nlu_data.common_examples AS exs FROM files),
+         |exs AS (
+         |  SELECT file, CAST(i - 1 AS INT) AS idx, exs[i].text AS text,
+         |         exs[i].entities AS ents
+         |  FROM exi, LATERAL (SELECT unnest(generate_series(1, len(exs))) AS i)),
+         |ent AS (SELECT file, idx, unnest(ents) AS e FROM exs)
+         |SELECT exs.file, exs.idx, exs.text, e.entity AS kind, e.value AS value,
+         |  CAST(e.start AS INT) AS start_c, CAST(e."end" AS INT) AS end_c
+         |FROM exs LEFT JOIN ent USING (file, idx)""".stripMargin,
     "src_wordvec" ->
       s"""SELECT column0 AS word,
          |  ROW_NUMBER() OVER (ORDER BY column0) AS id,

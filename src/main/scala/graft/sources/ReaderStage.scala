@@ -170,6 +170,38 @@ object ReaderStage {
       (r.shard, s"${r.text}\n$pos\n${tags.mkString("|")}\n")
     }
 
+  // ------------------------------------------------------------------ iob2
+
+  /** IOB2 staging (input format of ref `genia/utils/iob2_to_rasa.py`):
+    * `token TAB tag-columns` lines, sentences separated by blank lines,
+    * nested tags spread over extra columns by first-fit assignment of the
+    * wrg tag spans (the reference's multi-column nesting layout). Shards
+    * mirror the wrg sharding.
+    */
+  def iob2Records(docs: Seq[(Long, String)]): Seq[(Int, String)] =
+    wrgStructured(docs).filter(_.text.nonEmpty).map { r =>
+      val toks = r.text.split(" ")
+      val cols = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[(Int, Int, String)]]
+      r.tags.sortBy(t => (t._1, -t._2)).foreach { tag =>
+        cols.find(c => c.forall(e => tag._1 > e._2 || tag._2 < e._1)) match {
+          case Some(c) => c += tag
+          case None    => cols += scala.collection.mutable.ArrayBuffer(tag)
+        }
+      }
+      val nCols = math.max(cols.length, 1)
+      val lines = toks.indices.map { i =>
+        val tags = (0 until nCols).map { c =>
+          cols.lift(c).flatMap(_.find(e => e._1 <= i && i <= e._2)) match {
+            case Some((s, _, kind)) => if (i == s) s"B-$kind" else s"I-$kind"
+            case None               => "O"
+          }
+        }
+        (toks(i) +: tags).mkString("\t")
+      }
+      (r.shard, lines.mkString("\n"))
+    }
+
   // ------------------------------------------------------ wrg mirror JSONLs
   //
   // The wrg TEXT format is not SQL-parseable, but the PARSED relations are —
@@ -303,7 +335,7 @@ object ReaderStage {
     * signature otherwise hashes only the INPUT corpus, and an old stage dir
     * would silently short-circuit the new outputs
     */
-  val StageVersion = "stage-v3" // v3: + vectors.bin (word2vec C binary, S9 second branch)
+  val StageVersion = "stage-v4" // v4: + vectors.bin (word2vec C binary), iob2 shards + converted rasa mirror
 
   private def signature(docs: Seq[(Long, String)]): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -335,6 +367,21 @@ object ReaderStage {
       writeIfChanged(dir.resolve(s"wrg/part-$shard.wrg"),
         recs.map(_._2).mkString("\n") + "\n")
     }
+    Files.createDirectories(dir.resolve("iob2"))
+    val iobByShard = iob2Records(docs).groupBy(_._1)
+    iobByShard.foreach { case (shard, recs) =>
+      writeIfChanged(dir.resolve(s"iob2/part-$shard.iob2"),
+        recs.map(_._2).mkString("\n\n") + "\n")
+    }
+    // the reference converter's own output over the staged iob2 — the
+    // DuckDB oracle for the distributed iob2 parse reads this json
+    writeIfChanged(dir.resolve("iob2_rasa.json"),
+      iobByShard.toSeq.sortBy(_._1)
+        .map { case (shard, recs) =>
+          (s"part-$shard.iob2", Readers.iob2ToRasaJson(recs.map(_._2).mkString("\n\n")))
+        }
+        .map { case (f, json) => s"""{"file":${jstr(f)},"rasa":$json}""" }
+        .mkString("[", ",\n", "]"))
     writeIfChanged(dir.resolve("wrg_expect.jsonl"), wrgExpectJsonl(docs))
     writeIfChanged(dir.resolve("wrg_swin_expect.jsonl"), wrgSwinExpectJsonl(docs))
     writeIfChanged(dir.resolve("wrg_twin_expect.jsonl"), wrgTwinExpectJsonl(docs))

@@ -148,6 +148,73 @@ object Readers {
       }
   }
 
+  // ------------------------------------------------------------ iob2→rasa
+
+  /** One parsed IOB2 sentence: single-space text + entities recovered from
+    * the tag columns.
+    */
+  final case class Iob2Rec(file: String, idx: Int, text: String, entities: Seq[WrgEntity])
+
+  /** Pure IOB2 sentence-matrix parser, a faithful port of `iob_to_rasa`
+    * (ref `genia/utils/iob2_to_rasa.py:5-36`): sentences split on blank
+    * lines; each line is `token TAB tag…` with one tag COLUMN per nesting
+    * layer; per column, a `B-…` run extends over following `I-…` tags —
+    * including the reference's quirk that an I- of a DIFFERENT kind still
+    * continues the run (`span[j].startswith('I')` checks the prefix only).
+    * Offsets are char offsets under the single-space join, like the
+    * reference's `offset += len(tokens[i]) + 1` walk.
+    */
+  def parseIob2(content: String): Seq[(String, Seq[WrgEntity])] =
+    content.trim.split("\n\n").toSeq.filter(_.trim.nonEmpty).map { sm =>
+      val rows = sm.trim.split("\n").map(_.split("\t", -1))
+      val tokens = rows.map(_.head)
+      val nCols = rows.map(_.length - 1).max.max(0)
+      var off = 0
+      val offs = tokens.map { t => val s = off; off += t.length + 1; s }
+      val ents = for {
+        c <- 0 until nCols
+        span = rows.map(r => if (c + 1 < r.length) r(c + 1) else "O")
+        i <- tokens.indices
+        if span(i).startsWith("B")
+      } yield {
+        var j = i + 1
+        while (j < tokens.length && span(j).startsWith("I")) j += 1
+        val value = tokens.slice(i, j).mkString(" ")
+        WrgEntity(span(i).drop(2), value, offs(i), offs(i) + value.length)
+      }
+      (tokens.mkString(" "), ents)
+    }
+
+  /** Distributed IOB2 directory reader — same shape as the wrg reader: one
+    * task per file (`wholetext`), record order preserved within a file.
+    */
+  def iob2(spark: SparkSession, dir: String): Dataset[Iob2Rec] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(dir)
+      .select(input_file_name().as("file"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (f, content) =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        parseIob2(content).iterator.zipWithIndex.map { case ((text, ents), i) =>
+          Iob2Rec(name, i, text, ents)
+        }
+      }
+  }
+
+  /** The converter's output format (ref `iob2_to_rasa.py:47-58`): one rasa
+    * `rasa_nlu_data.common_examples` document per iob2 file, `intent = ""`.
+    * Driver-side per file like the reference's __main__; the distributed
+    * path is `iob2(...)` + a rasa write.
+    */
+  def iob2ToRasaJson(iobContent: String): String = {
+    val exs = parseIob2(iobContent).map { case (text, ents) =>
+      val entJson = ents.map(e =>
+        s"""{"start":${e.start_c},"end":${e.end_c},"value":${ReaderStage.jstr(e.value)},"entity":${ReaderStage.jstr(e.kind)}}""")
+      s"""{"text":${ReaderStage.jstr(text)},"intent":${ReaderStage.jstr("")},"entities":[${entJson.mkString(",")}]}"""
+    }
+    s"""{"rasa_nlu_data":{"intent_examples":[],"entity_examples":[],"common_examples":[${exs.mkString(",\n")}]}}"""
+  }
+
   // ------------------------------------------------------------------- S7
 
   /** `simple_wrg_reader` (`utils/data.py:183-206`): the wrg records in

@@ -225,6 +225,38 @@ class ReadersSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Readers.loadWordVectorsBin(badPath.toString) }
   }
 
+  test("iob2 parser: nested columns, cross-kind I continuation quirk, offsets") {
+    // two tag columns (nesting layers); the reference's scan extends a B run
+    // over ANY following I- tag, even of a different kind — reproduce it
+    val iob = "alpha\tB-PER\tB-LOC\nbeta\tI-ORG\tO\ngamma\tO\tI-LOC\n\nsolo\tO\n"
+    val recs = Readers.parseIob2(iob)
+    assert(recs.length == 2)
+    val (t1, e1) = recs(0)
+    assert(t1 == "alpha beta gamma")
+    assert(e1.toList == List(
+      Readers.WrgEntity("PER", "alpha beta", 0, 10), // B-PER extended by I-ORG
+      Readers.WrgEntity("LOC", "alpha", 0, 5)))      // col 2: B-LOC, I-LOC not adjacent
+    assert(recs(1) == (("solo", Seq())))
+  }
+
+  test("iob2 reader == reference converter output (round-trip through the rasa reader)") {
+    // distributed parse of a staged shard vs the sequential iob2→rasa
+    // converter parsed back through the S1 rasa reader
+    val shard = java.nio.file.Paths.get(stageDir, "iob2", "part-0.iob2")
+    val content = new String(java.nio.file.Files.readAllBytes(shard), "UTF-8")
+    val tmp = java.nio.file.Files.createTempFile("iob2_rasa", ".json")
+    java.nio.file.Files.write(tmp, Readers.iob2ToRasaJson(content).getBytes("UTF-8"))
+    val viaRasa = Readers.rasa(spark, tmp.toString).collect()
+      .map(r => (r.getString(0),
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getString(0), e.getString(1), e.getInt(2), e.getInt(3))).toList))
+    val direct = Readers.iob2(spark, s"$stageDir/iob2").collect()
+      .filter(_.file == "part-0.iob2").sortBy(_.idx)
+      .map(r => (r.text, r.entities.map(e => (e.kind, e.value, e.start_c, e.end_c)).toList))
+    assert(direct.nonEmpty && direct.exists(_._2.nonEmpty))
+    assert(viaRasa.toSeq == direct.toSeq)
+  }
+
   // ------------------------------------------------------------------- S7
 
   test("simple wrg reader: token-span projection matches the staged tags (S7)") {
