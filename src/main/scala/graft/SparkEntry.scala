@@ -370,6 +370,14 @@ object SparkEntry {
     "sim_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "sim_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "sim_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
+    // the on-disk inverted-list layout: index partitioned by cluster,
+    // probes read via partition pruning; row-identical to sim_ann_ivf so
+    // the staged-centroid oracle covers both paths
+    "sim_ann_ivf_indexed" -> ((s, dir) => {
+      val idx = graft.sources.ReaderStage.stageDir(dir).resolve("ivf_index.parquet").toString
+      Similarity.ensureIvfIndex(s, dir, idx)
+      Similarity.annIvfIndexed(s, dir, idx)
+    }),
     "text_langid" -> ((s, dir) => TextOps.langId(s, dir)),
     "text_quality" -> ((s, dir) => TextOps.quality(s, dir)),
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
@@ -786,6 +794,7 @@ object SparkEntry {
          |FROM fr""".stripMargin,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
+    "sim_ann_ivf_indexed" -> annIvfSql,
     "dedup_embcos" -> embCosSql,
     // E3/M4 metrics tables: distributed pred is hash-equal to staged gold
     // (kg_mentions_slice), so the exact metrics table is derivable from gold

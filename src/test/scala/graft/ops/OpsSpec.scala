@@ -160,6 +160,23 @@ class OpsSpec extends AnyFunSuite {
       e.where(col("vec_id") % Similarity.QueryMod === 0).count())
   }
 
+  test("IVF on-disk index: partition-pruned probes reproduce annIvf exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+    Similarity.buildIvfIndex(spark, sfDir, dir)
+    // layout: one directory per cluster id (the inverted-list partition)
+    val parts = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("cluster="))
+    assert(parts.nonEmpty && parts.length <= Similarity.IvfClusters)
+    val indexed = Similarity.annIvfIndexed(spark, sfDir, dir)
+    // the probe filter reaches the scan as a PARTITION filter, not a data filter
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"cluster probe filter not pushed to partition pruning:\n${plan.take(800)}")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rows(indexed) == rows(Similarity.annIvf(spark, sfDir)),
+      "indexed query path must be row-identical to the in-memory join path")
+  }
+
   test("exact dedup groups cover all docs; jaccard pairs are symmetric-free and thresholded") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val groups = Dedup.exact(spark, sfDir)
