@@ -95,17 +95,23 @@ object SparkEntry {
       val _ = KgStage.stage(s, dir)
       KgStream.linkedStream(s, dir)
     }),
+    // full-corpus runs: value-checked against the staged FULL-corpus
+    // sequential golds (KgStage stages them at the gate's small SF; at
+    // large SFs the oracle still reads the sf0.01 staging)
     "kg_mentions" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
       val bc = s.sparkContext.broadcast(model(s, dir))
       Mentions.detect(DocGen.docs(s, dir), bc).toDF()
     }),
     "kg_mentions_bidir" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
       val bc = s.sparkContext.broadcast(model(s, dir))
       val bv = s.sparkContext.broadcast(
         graft.core.VariantWeights.build(Mentions.ModelSeed, ModelConfig(), Mentions.Kinds.length))
       Mentions.detectVariant(DocGen.docs(s, dir), bc, bv, "bidirectional").toDF()
     }),
     "kg_mentions_ml" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
       val bc = s.sparkContext.broadcast(model(s, dir))
       val bv = s.sparkContext.broadcast(
         graft.core.VariantWeights.build(Mentions.ModelSeed, ModelConfig(), Mentions.Kinds.length))
@@ -113,13 +119,17 @@ object SparkEntry {
     }),
     "kg_dict" -> ((s, dir) => AliasDict.build(DocGen.docs(s, dir))),
     "kg_linked" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
       val bc = s.sparkContext.broadcast(model(s, dir))
       val mentions = Mentions.detect(DocGen.docs(s, dir), bc).toDF()
       Link.link(mentions, AliasDict.build(DocGen.docs(s, dir)))
     }),
     "kg_canonical_map" -> ((s, dir) =>
       Canonical.connectedComponents(Canonical.edgesFromDict(AliasDict.build(DocGen.docs(s, dir))))),
-    "kg_triples" -> ((s, dir) => Triples.pipeline(s, dir)),
+    "kg_triples" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      Triples.pipeline(s, dir)
+    }),
   )
 
   // ---------------------------------------------------------- relational
@@ -737,6 +747,22 @@ object SparkEntry {
     "kg_triples_slice" ->
       s"""SELECT subj, pred, obj
          |FROM read_parquet('$KgPath/gold_triples.parquet/*.parquet')""".stripMargin,
+    "kg_mentions" ->
+      s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
+         |FROM read_parquet('$KgPath/gold_full_mentions.parquet/*.parquet')""".stripMargin,
+    "kg_mentions_bidir" ->
+      s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
+         |FROM read_parquet('$KgPath/gold_full_bidir.parquet/*.parquet')""".stripMargin,
+    "kg_mentions_ml" ->
+      s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
+         |FROM read_parquet('$KgPath/gold_full_ml.parquet/*.parquet')""".stripMargin,
+    "kg_linked" ->
+      s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order",
+         |  entity_id, dict_kind, prior
+         |FROM read_parquet('$KgPath/gold_full_linked.parquet/*.parquet')""".stripMargin,
+    "kg_triples" ->
+      s"""SELECT subj, pred, obj
+         |FROM read_parquet('$KgPath/gold_full_triples.parquet/*.parquet')""".stripMargin,
     "kg_dict" -> s"WITH $dictCtes\nSELECT alias, entity_id, kind, prior FROM dict",
     "kg_canonical_map" -> canonicalSql,
     "eval_layers" ->

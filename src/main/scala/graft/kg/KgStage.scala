@@ -32,7 +32,15 @@ object KgStage {
   /** bump when the staged derivation changes — part of the signature so old
     * stage dirs regenerate
     */
-  val Version = "kg-v5" // v5: + gold_genia_mentions (calibrated ModelConfig.genia), gold_ctx_mentions (N12 article-window), st_embeddings + gold_st_mentions (N13 precomputed-ST context)
+  val Version = "kg-v6" // v6: + FULL-corpus golds (mentions/bidir/ml/linked/triples) at small SF — every driver query becomes value-checked
+
+  /** Full-corpus sequential golds are staged only when the corpus is small
+    * enough that the driver-side re-derivation stays cheap (the driver's
+    * correctness gate runs at sf0.01 = 500 docs; sf0.1 batteries skip this
+    * block and those queries stay rows-only there, which is fine — the
+    * oracle SQL always reads the sf0.01 staging).
+    */
+  val FullGoldMaxDocs = 1000
 
   def stageDir(sfDir: String): Path = ReaderStage.stageDir(sfDir).resolve("kg")
 
@@ -163,6 +171,41 @@ object KgStage {
     spark.createDataset(goldTriples).toDF()
       .coalesce(1).write.mode("overwrite")
       .parquet(dir.resolve("gold_triples.parquet").toString)
+
+    // --- FULL-corpus golds (small SF only): the sequential re-derivation of
+    //     the five full-corpus queries, with the FULL-corpus model (lexicon
+    //     over all docs — matching SparkEntry.model). Takes the driver gate
+    //     from slice-only to every-query value-checked.
+    if (docs.length <= FullGoldMaxDocs) {
+      val all = docs.sortBy(_._1)
+        .map { case (id, text) => DocGen.assemble(DocGen.docIdOf(id), text) }
+      val fullModel = Mentions.buildModel(spark.createDataset(all), ModelConfig())
+      val fullVw = graft.core.VariantWeights.build(Mentions.ModelSeed, ModelConfig(),
+        Mentions.Kinds.length)
+      val fullInf = new graft.core.PyramidInference(fullModel.weights, fullModel.vocab)
+      val fullVi = new graft.core.PyramidVariantInference(fullInf, fullVw)
+      val fullMentions = GoldRef.mentions(all, fullModel)
+      writeMentions("gold_full_mentions.parquet", fullMentions)
+      writeMentions("gold_full_bidir.parquet", all.flatMap(d =>
+        Mentions.detectDocWith(d, toks => fullVi.detectBidirectional(toks, fullModel.codec))))
+      writeMentions("gold_full_ml.parquet", all.flatMap(d =>
+        Mentions.detectDocWith(d, toks => fullVi.detectMultiLabel(toks, fullModel.codec))))
+      val fullBest = GoldRef.bestCandidates(GoldRef.dict(all))
+      val fullLinked = fullMentions.flatMap { m =>
+        fullBest.get(GoldRef.lower(m.text)).map(b =>
+          (m.doc_id, m.mention_id, m.kind, m.text, m.media_ref, m.start_tok, m.len,
+            m.order, b.entityId, b.kind, b.prior))
+      }
+      spark.createDataset(fullLinked)
+        .toDF("doc_id", "mention_id", "kind", "text", "media_ref", "start_tok", "len",
+          "order", "entity_id", "dict_kind", "prior")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("gold_full_linked.parquet").toString)
+      val fullTriples = GoldRef.triples(all, fullModel).toSeq.sortBy(t => (t.subj, t.pred, t.obj))
+      spark.createDataset(fullTriples).toDF()
+        .coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("gold_full_triples.parquet").toString)
+    }
 
     Files.write(marker, sig.getBytes(StandardCharsets.UTF_8))
     dir
