@@ -49,13 +49,14 @@ object Bench {
     // (round-2 driver battery showed 3 s queries as 109 s rows); the minimum
     // of two independent timings is the closest observable to the real cost
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
+    require(reps >= 1, s"GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val (ok, sec) = time {
           try { force(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            failed += name
+            if (!failed.contains(name)) failed += name
             false
           }
         }

@@ -18,6 +18,8 @@ import graft.kg.{DocGen, Mentions}
 object CalibMain {
   def main(args: Array[String]): Unit = {
     val mode = args.lift(0).getOrElse("base")
+    require(mode == "base" || mode == "ml",
+      s"unknown mode '$mode' — usage: CalibMain [base|ml] [sfDir]")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -53,7 +55,7 @@ object CalibMain {
         "genia" -> ModelConfig.genia)
       for ((name, cfg0) <- shapes) {
         val model = Mentions.buildModel(docs, cfg0)
-        for (ob <- Seq(1.15f); rb <- Seq(-1.0f)) {
+        for (ob <- Seq(0.9f, 1.0f, 1.1f, 1.15f, 1.2f, 1.4f); rb <- Seq(-1.0f, -2.0f)) {
           val cfg = cfg0.copy(oBias = ob, remedyBias = rb)
           val w = PyramidWeights.build(Mentions.ModelSeed, cfg, model.vocab.size,
             Mentions.Kinds.length)

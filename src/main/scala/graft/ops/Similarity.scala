@@ -203,13 +203,21 @@ object Similarity {
     * this path too.
     */
   def annIvfIndexed(spark: SparkSession, sfDir: String, indexDir: String): DataFrame = {
+    import spark.implicits._
     val cents = kmeansCentroids(spark, sfDir)
-    val probes = embDf(spark, sfDir).where(col("vec_id") % QueryMod === 0)
+    // the probe table is driver-sized by construction (|queries| × IvfProbes
+    // rows — the router step of an ANN service), so compute it ONCE, collect
+    // it, and serve both the partition filter and the broadcast join from
+    // the collected rows instead of scanning/scoring the query side twice
+    val probeRows = embDf(spark, sfDir).where(col("vec_id") % QueryMod === 0)
       .withColumn("scores", centroidScores(col("embedding"), cents))
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         explode(expr(s"slice(reverse(array_sort(scores)), 1, $IvfProbes)")).as("p"))
       .select(col("query_id"), col("q"), col("p.k").as("cluster"))
-    val probed = probes.select("cluster").distinct().collect().map(_.getInt(0))
+      .as[(Long, Array[Float], Int)].collect()
+    val probes = spark.createDataset(probeRows.toIndexedSeq)
+      .toDF("query_id", "q", "cluster")
+    val probed = probeRows.map(_._3).distinct
     val index = spark.read.parquet(indexDir)
       .where(col("cluster").isInCollection(probed.toIndexedSeq))
     val cand = index.join(broadcast(probes), Seq("cluster"))

@@ -28,12 +28,15 @@ class KgStreamSpec extends AnyFunSuite {
     val sinkDir = root.resolve("sink").toString
     val ckptDir = root.resolve("ckpt").toString
 
-    // slice input as FOUR parquet files → four micro-batches at
-    // maxFilesPerTrigger=1, so the kill lands on a batch boundary
+    // slice input as SIXTEEN parquet files → sixteen micro-batches at
+    // maxFilesPerTrigger=1, so the stop after commit 0 lands mid-stream even
+    // on a fast machine (4 files once raced: all four committed before the
+    // stop took effect and the partial-progress assert fired spuriously)
+    val nFiles = 16
     val slice = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("cast(doc_id as long) doc_id", "text")
       .orderBy("doc_id").limit(Eval.EvalSliceDocs)
-    slice.repartition(4).write.parquet(srcDir)
+    slice.repartition(nFiles).write.parquet(srcDir)
 
     // run 1: stop as soon as the first batch has committed (poll the
     // checkpoint commit log — the authoritative "batch done" signal)
@@ -46,9 +49,13 @@ class KgStreamSpec extends AnyFunSuite {
     q1.stop(); q1.awaitTermination(); cleanup1()
 
     val afterKill = spark.read.parquet(sinkDir).count()
-    val committedBatches = java.nio.file.Files.list(commits)
-      .filter(p => p.getFileName.toString.forall(_.isDigit)).count()
-    assert(committedBatches < 4, s"kill landed after all $committedBatches batches — nothing to resume")
+    val committedBatches = {
+      val st = java.nio.file.Files.list(commits)
+      try st.filter(p => p.getFileName.toString.forall(_.isDigit)).count()
+      finally st.close()
+    }
+    assert(committedBatches < nFiles,
+      s"kill landed after all $committedBatches batches — nothing to resume")
 
     // run 2: same checkpoint + sink, drain the rest
     val (q2, cleanup2) = KgStream.linkedCheckpointed(spark, sfDir, srcDir, sinkDir, ckptDir,
