@@ -71,6 +71,13 @@ object SparkEntry {
       val _ = KgStage.stage(s, dir)
       Eval.sliceCtxPred(s, dir)
     }),
+    // N12 over the article-bucketed STORAGE layout: same decoder + gold as
+    // kg_mentions_ctx_slice but shuffle-free (the exchange was paid once at
+    // materialization — KgPipelineSpec asserts the plan has no Exchange)
+    "kg_mentions_ctx_bucketed" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      Eval.sliceCtxBucketedPred(s, dir)
+    }),
     // N13 third context encoder: PRECOMPUTED sentence-transformer-style
     // document vectors joined in from the staged table
     "kg_mentions_st" -> ((s, dir) => Eval.sliceStPred(s, dir)),
@@ -129,6 +136,16 @@ object SparkEntry {
     "kg_triples" -> ((s, dir) => {
       val _ = KgStage.stage(s, dir)
       Triples.pipeline(s, dir)
+    }),
+    // ops-layer output: the bucketed checkpointed run's GLOBAL compaction
+    // (cross-bucket distinct). Equal by construction to the monolithic
+    // pipeline's distinct triples, so the full-corpus sequential gold is its
+    // value oracle; the staged run is corpus-signature-guarded.
+    "kg_triples_compacted" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      val out = graft.sources.ReaderStage.stageDir(dir).resolve("kgrun").toString
+      KgRunner.ensureRun(s, dir, out)
+      s.read.parquet(s"$out/triples_compacted")
     }),
   )
 
@@ -341,6 +358,12 @@ object SparkEntry {
           (w, (i + 1).toLong, v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
         }.toDF("word", "id", "v0", "v1", "v2", "v3", "v4", "v5", "v6", "v7")
       }),
+      // wvlib normalize (ref wvlib.py:404): distributed unit-normalization
+      "src_wordvec_norm" -> ((s, dir) =>
+        Readers.wordVectorNorm(s, s"${stagePath(s, dir)}/glove.csv")),
+      // wvlib nearest (ref wvlib.py:304): top-10 cosine neighbors per probe
+      "src_wordvec_nearest" -> ((s, dir) =>
+        Readers.wordVectorNearest(s, s"${stagePath(s, dir)}/glove.csv")),
     )
   }
 
@@ -410,6 +433,13 @@ object SparkEntry {
       Multimodal.frameSamples(s, dir)
         .select(col("doc_id"), col("media_ref"), col("n_frames"), col("frame_idx"),
           col("frame_ref"), lower(hex(col("frame_payload"))).as("payload_hex"))
+    }),
+    // REAL decode: distributed ImageIO.read over staged PNG payloads; the
+    // oracle reads the stage-time PRE-ENCODE (width, height, pixel_md5), so
+    // the hash passes only if actual pixel decoding is correct
+    "mm_decode_png" -> ((s, dir) => {
+      val stage = KgStage.stage(s, dir)
+      Multimodal.decodePng(s, s"$stage/media_png.parquet")
     }),
   )
 
@@ -695,6 +725,48 @@ object SparkEntry {
          |  column1 AS v0, column2 AS v1, column3 AS v2, column4 AS v3,
          |  column5 AS v4, column6 AS v5, column7 AS v6, column8 AS v7
          |FROM read_csv('$StagePath/glove.csv', header = false)""".stripMargin,
+    "src_wordvec_norm" ->
+      s"""WITH v AS (
+         |  SELECT column0 AS word,
+         |    sqrt(column1*column1 + column2*column2 + column3*column3
+         |       + column4*column4 + column5*column5 + column6*column6
+         |       + column7*column7 + column8*column8) AS nrm,
+         |    column1, column2, column3, column4, column5, column6, column7, column8
+         |  FROM read_csv('$StagePath/glove.csv', header = false))
+         |SELECT word, round(nrm, 6) AS norm,
+         |  round(column1/nrm, 6) AS u0, round(column2/nrm, 6) AS u1,
+         |  round(column3/nrm, 6) AS u2, round(column4/nrm, 6) AS u3,
+         |  round(column5/nrm, 6) AS u4, round(column6/nrm, 6) AS u5,
+         |  round(column7/nrm, 6) AS u6, round(column8/nrm, 6) AS u7
+         |FROM v""".stripMargin,
+    "src_wordvec_nearest" ->
+      s"""WITH v AS (
+         |  SELECT column0 AS word,
+         |    sqrt(column1*column1 + column2*column2 + column3*column3
+         |       + column4*column4 + column5*column5 + column6*column6
+         |       + column7*column7 + column8*column8) AS nrm,
+         |    column1, column2, column3, column4, column5, column6, column7, column8
+         |  FROM read_csv('$StagePath/glove.csv', header = false)),
+         |u AS (
+         |  SELECT word, column1/nrm AS u0, column2/nrm AS u1, column3/nrm AS u2,
+         |    column4/nrm AS u3, column5/nrm AS u4, column6/nrm AS u5,
+         |    column7/nrm AS u6, column8/nrm AS u7
+         |  FROM v),
+         |p AS (
+         |  SELECT word AS probe, u0 AS p0, u1 AS p1, u2 AS p2, u3 AS p3,
+         |    u4 AS p4, u5 AS p5, u6 AS p6, u7 AS p7
+         |  FROM u ORDER BY word LIMIT 5),
+         |sims AS (
+         |  SELECT probe, word,
+         |    round(p0*u0 + p1*u1 + p2*u2 + p3*u3 + p4*u4 + p5*u5 + p6*u6 + p7*u7,
+         |          6) AS sim
+         |  FROM p, u WHERE word != probe),
+         |ranked AS (
+         |  SELECT probe, word, sim,
+         |    CAST(row_number() OVER (PARTITION BY probe ORDER BY sim DESC, word)
+         |         AS INT) AS rank
+         |  FROM sims)
+         |SELECT probe, rank, word, sim FROM ranked WHERE rank <= 10""".stripMargin,
     // wrg parses: the stager writes JSONL mirrors of exactly the rows the
     // distributed wrg parser must produce (the 4-line wrg text itself is not
     // SQL-parseable; the parsed relation is)
@@ -730,6 +802,9 @@ object SparkEntry {
     "kg_mentions_ctx_slice" ->
       s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
          |FROM read_parquet('$KgPath/gold_ctx_mentions.parquet/*.parquet')""".stripMargin,
+    "kg_mentions_ctx_bucketed" ->
+      s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
+         |FROM read_parquet('$KgPath/gold_ctx_mentions.parquet/*.parquet')""".stripMargin,
     "kg_mentions_st" ->
       s"""SELECT doc_id, mention_id, kind, text, media_ref, start_tok, len, "order"
          |FROM read_parquet('$KgPath/gold_st_mentions.parquet/*.parquet')""".stripMargin,
@@ -761,6 +836,9 @@ object SparkEntry {
          |  entity_id, dict_kind, prior
          |FROM read_parquet('$KgPath/gold_full_linked.parquet/*.parquet')""".stripMargin,
     "kg_triples" ->
+      s"""SELECT subj, pred, obj
+         |FROM read_parquet('$KgPath/gold_full_triples.parquet/*.parquet')""".stripMargin,
+    "kg_triples_compacted" ->
       s"""SELECT subj, pred, obj
          |FROM read_parquet('$KgPath/gold_full_triples.parquet/*.parquet')""".stripMargin,
     "kg_dict" -> s"WITH $dictCtes\nSELECT alias, entity_id, kind, prior FROM dict",
@@ -818,6 +896,9 @@ object SparkEntry {
          |  media_ref || '#f' || frame_idx AS frame_ref,
          |  md5(media_ref || '#f' || frame_idx) AS payload_hex
          |FROM fr""".stripMargin,
+    "mm_decode_png" ->
+      s"""SELECT media_ref, width, height, pixel_md5
+         |FROM read_parquet('$KgPath/media_png.parquet/*.parquet')""".stripMargin,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_ivf_indexed" -> annIvfSql,

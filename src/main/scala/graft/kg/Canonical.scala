@@ -84,10 +84,21 @@ object Canonical {
     * the coalesce at apply time).
     */
   def connectedComponents(edges0: DataFrame, maxIter: Int = 20,
-                          driverThreshold: Long = DriverCcThreshold): DataFrame = {
+                          driverThreshold: Long = DriverCcThreshold): DataFrame =
+    connectedComponentsWithStats(edges0, maxIter, driverThreshold)._1
+
+  /** run statistics for benchmarking/diagnostics: which path ran and how many
+    * star rounds the distributed loop needed (0 on the driver fast path)
+    */
+  final case class CcStats(edgesIn: Long, usedDriverPath: Boolean, iterations: Int)
+
+  def connectedComponentsWithStats(edges0: DataFrame, maxIter: Int = 20,
+                                   driverThreshold: Long = DriverCcThreshold): (DataFrame, CcStats) = {
     var edges = edges0.select("src", "dst").where(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
-    if (edges.count() <= driverThreshold) return driverUnionFind(edges)
+    val nIn = edges.count()
+    if (nIn <= driverThreshold)
+      return (driverUnionFind(edges), CcStats(nIn, usedDriverPath = true, 0))
     var fp = fingerprint(edges)
     var i = 0
     var converged = false
@@ -100,9 +111,10 @@ object Canonical {
       i += 1
     }
     // star forest: edges point child -> root; roots map to themselves
-    edges.select(col("src").as("entity_id"), col("dst").as("canonical_id"))
+    val out = edges.select(col("src").as("entity_id"), col("dst").as("canonical_id"))
       .unionAll(edges.select(col("dst").as("entity_id"), col("dst").as("canonical_id")))
       .groupBy("entity_id").agg(min("canonical_id").as("canonical_id"))
+    (out, CcStats(nIn, usedDriverPath = false, i))
   }
 
   /** small-graph fast path: collect + union-find with min-root, one job in,

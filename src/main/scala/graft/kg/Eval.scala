@@ -195,16 +195,28 @@ object Eval {
     */
   val EvalSliceDocs = 200
 
+  /** ONE cached slice Dataset per sfDir, shared by every slice* entry point:
+    * the returned DataFrames are lazy, so a per-call `.cache()` could never
+    * be unpersisted without breaking the caller's plan — previously each call
+    * leaked a pinned copy in a long-lived session. The map is bounded (one
+    * entry per corpus dir) and survives `spark.catalog.clearCache()`
+    * (the Dataset re-caches on next use).
+    */
+  private val sliceCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.Dataset[PyramidDoc]]
+
+  def sliceDocs(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[PyramidDoc] =
+    sliceCache.getOrElseUpdate(sfDir,
+      DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache())
+
   def evalSlice(spark: SparkSession, sfDir: String,
                 cfg: ModelConfig = ModelConfig()): (DataFrame, DataFrame, Mentions.Model) = {
     import spark.implicits._
-    val docs = DocGen.docs(spark, sfDir)
-      .orderBy("doc_id").limit(EvalSliceDocs).cache()
+    val docs = sliceDocs(spark, sfDir)
     val model = Mentions.buildModel(docs, cfg)
     val bc = spark.sparkContext.broadcast(model)
     val pred = Mentions.detect(docs, bc).toDF()
     val gold = spark.createDataset(GoldRef.mentions(docs.collect().toSeq, model)).toDF()
-    docs.unpersist()
     (pred, gold, model)
   }
 
@@ -216,7 +228,7 @@ object Eval {
     */
   def slicePred(spark: SparkSession, sfDir: String,
                 cfg: ModelConfig = ModelConfig()): DataFrame = {
-    val docs = DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    val docs = sliceDocs(spark, sfDir)
     val model = Mentions.buildModel(docs, cfg)
     Mentions.detect(docs, spark.sparkContext.broadcast(model)).toDF()
   }
@@ -228,7 +240,7 @@ object Eval {
   def sliceLmPred(spark: SparkSession, sfDir: String,
                   cfg: ModelConfig = ModelConfig()): DataFrame = {
     val stage = KgStage.stage(spark, sfDir)
-    val docs = DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    val docs = sliceDocs(spark, sfDir)
     val model = Mentions.buildModel(docs, cfg)
     val vw = graft.core.VariantWeights.build(Mentions.ModelSeed, cfg, Mentions.Kinds.length)
     val lm = spark.read.parquet(s"$stage/lm_embeddings.parquet")
@@ -241,7 +253,7 @@ object Eval {
     */
   def sliceVariantPred(spark: SparkSession, sfDir: String, mode: String,
                        cfg: ModelConfig = ModelConfig()): DataFrame = {
-    val docs = DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    val docs = sliceDocs(spark, sfDir)
     val model = Mentions.buildModel(docs, cfg)
     val vw = graft.core.VariantWeights.build(Mentions.ModelSeed, cfg, Mentions.Kinds.length)
     Mentions.detectVariant(docs, spark.sparkContext.broadcast(model),
@@ -254,11 +266,26 @@ object Eval {
     */
   def sliceCtxPred(spark: SparkSession, sfDir: String,
                    cfg: ModelConfig = ModelConfig()): DataFrame = {
-    val docs = DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    val docs = sliceDocs(spark, sfDir)
     val model = Mentions.buildModel(docs, cfg)
     val vw = graft.core.VariantWeights.build(Mentions.ModelSeed, cfg, Mentions.Kinds.length)
     Mentions.detectContextual(docs, spark.sparkContext.broadcast(model),
       spark.sparkContext.broadcast(vw)).toDF()
+  }
+
+  /** N12 over the ARTICLE-BUCKETED staged layout (ctx_docs_bucketed.parquet):
+    * shuffle-free contextual detection — same model, same gold oracle as
+    * sliceCtxPred, but reading the clustered-at-rest table instead of paying
+    * the groupByKey exchange.
+    */
+  def sliceCtxBucketedPred(spark: SparkSession, sfDir: String,
+                           cfg: ModelConfig = ModelConfig()): DataFrame = {
+    val stage = KgStage.stage(spark, sfDir)
+    val docs = sliceDocs(spark, sfDir)
+    val model = Mentions.buildModel(docs, cfg)
+    val vw = graft.core.VariantWeights.build(Mentions.ModelSeed, cfg, Mentions.Kinds.length)
+    Mentions.detectContextualBucketed(spark, s"$stage/ctx_docs_bucketed.parquet",
+      spark.sparkContext.broadcast(model), spark.sparkContext.broadcast(vw)).toDF()
   }
 
   /** N13 precomputed-ST-context detection over the eval slice, with the
@@ -268,7 +295,7 @@ object Eval {
   def sliceStPred(spark: SparkSession, sfDir: String,
                   cfg: ModelConfig = ModelConfig()): DataFrame = {
     val stage = KgStage.stage(spark, sfDir)
-    val docs = DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    val docs = sliceDocs(spark, sfDir)
     val model = Mentions.buildModel(docs, cfg)
     val vw = graft.core.VariantWeights.build(Mentions.ModelSeed, cfg, Mentions.Kinds.length)
     val st = spark.read.parquet(s"$stage/st_embeddings.parquet")
@@ -279,7 +306,7 @@ object Eval {
   /** Stage-2 linking over the eval slice (mentions ⋈ slice dict). */
   def sliceLinked(spark: SparkSession, sfDir: String,
                   cfg: ModelConfig = ModelConfig()): DataFrame = {
-    val docs = DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    val docs = sliceDocs(spark, sfDir)
     val model = Mentions.buildModel(docs, cfg)
     val mentions = Mentions.detect(docs, spark.sparkContext.broadcast(model)).toDF()
     Link.link(mentions, AliasDict.build(docs))
@@ -290,7 +317,7 @@ object Eval {
     */
   def sliceTriples(spark: SparkSession, sfDir: String,
                    cfg: ModelConfig = ModelConfig()): DataFrame = {
-    val docs = DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    val docs = sliceDocs(spark, sfDir)
     Triples.pipelineFrom(docs, Mentions.buildModel(docs, cfg))
       .select("subj", "pred", "obj")
   }

@@ -32,7 +32,7 @@ object KgStage {
   /** bump when the staged derivation changes — part of the signature so old
     * stage dirs regenerate
     */
-  val Version = "kg-v6" // v6: + FULL-corpus golds (mentions/bidir/ml/linked/triples) at small SF — every driver query becomes value-checked
+  val Version = "kg-v8" // v8: + ctx_docs_bucketed.parquet (article-clustered N12 layout); v7: + media_png.parquet (real ImageIO-encoded payloads + expected decode results)
 
   /** Full-corpus sequential golds are staged only when the corpus is small
     * enough that the driver-side re-derivation stays cheap (the driver's
@@ -73,6 +73,21 @@ object KgStage {
       .toDF("doc_id", "kind", "text", "media_ref", "offset")
       .coalesce(1).write.mode("overwrite")
       .parquet(dir.resolve("docs_spans.parquet").toString)
+
+    // --- media_png: REAL PNG payloads for the ImageIO decode path — one tiny
+    //     deterministic image per distinct media ref, encoded with
+    //     ImageIO.write; (width, height, pixel_md5) are recorded from the RAW
+    //     pixels BEFORE encoding, so the distributed ImageIO.read decode
+    //     (mm_decode_png) is value-checked against a pre-encode ground truth
+    val pngRows = spanRows.filter(_._2 == "media").map(_._4).distinct.sorted.map { ref =>
+      val img = graft.ops.Multimodal.ImageCodec.genImage(ref)
+      (ref, graft.ops.Multimodal.ImageCodec.pngBytes(img),
+        img.getWidth, img.getHeight, graft.ops.Multimodal.ImageCodec.pixelMd5(img))
+    }
+    spark.createDataset(pngRows)
+      .toDF("media_ref", "png", "width", "height", "pixel_md5")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("media_png.parquet").toString)
 
     // --- gold_mentions: GoldRef over the eval slice (first EvalSliceDocs by
     //     doc_id), model built on the slice exactly like Eval.evalSlice
@@ -133,6 +148,12 @@ object KgStage {
               Mentions.detectDocWith(d, toks => vi.detectContextual(toks, pre, post, model.codec))
           }
       })
+
+    // --- ctx_docs_bucketed: the eval slice materialized CLUSTERED BY ARTICLE
+    //     (N12 storage layout — pays the context shuffle once at write time;
+    //     kg_mentions_ctx_bucketed then detects shuffle-free from it)
+    Mentions.writeArticleBucketed(spark.createDataset(slice),
+      dir.resolve("ctx_docs_bucketed.parquet").toString)
 
     // --- st_embeddings (N13): the precomputed per-document ST-vector table +
     //     the sequential detection using it

@@ -147,6 +147,9 @@ object KgStream {
       .format("parquet").option("path", sinkDir)
       .option("checkpointLocation", checkpointDir)
     val q = (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
-    (q, () => { dict.unpersist(); sliceDocs.unpersist() })
+    // bc.destroy (not just unpersist) releases the broadcast blocks on driver
+    // AND executors — repeated checkpointed runs in one session would
+    // otherwise accumulate them; the thunk contract is "call after stop()"
+    (q, () => { dict.unpersist(); sliceDocs.unpersist(); bc.destroy() })
   }
 }

@@ -157,8 +157,8 @@ object Mentions {
     val joined = docs.toDF().join(lmPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("spans"), col("lms"))
       .as[LmDocRow]
-    val par = spark.sparkContext.defaultParallelism
-    val wide = if (joined.rdd.getNumPartitions < par) joined.repartition(par) else joined
+    // unconditional widen (see detectSt): no .rdd partition probe on a join
+    val wide = joined.repartition(spark.sparkContext.defaultParallelism)
     wide.mapPartitions { it =>
       val m = bcModel.value
       val inf = new PyramidInference(m.weights, m.vocab)
@@ -241,6 +241,70 @@ object Mentions {
       .flatMapGroups(new CtxGroupDetect(bcModel, bcVar))
   }
 
+  // -------------------------------------------- N12 article-bucketed layout
+
+  /** bucket count for the test-scale staged layout; at corpus scale pick
+    * buckets so each bucket file stays a single parquet row group (≤
+    * parquet.block.size), which is what keeps an article from straddling two
+    * read splits
+    */
+  val CtxBuckets = 8
+
+  /** `articleIdOf` as a Catalyst expression (doc_id is `d%09d`). */
+  private def articleIdCol =
+    floor(expr("cast(substring(doc_id, 2) as long)") / CtxArticleDocs)
+
+  /** Materialize the docs table CLUSTERED BY ARTICLE: hash-repartitioned on
+    * article_id (one output file per bucket) and sorted (article_id, doc_id)
+    * within each file, so every article's documents are contiguous in exactly
+    * one file. This is the storage layout that makes the N12 context shuffle
+    * disappear: pay the exchange ONCE at materialization, then every
+    * contextual-detection pass over the table is shuffle-free
+    * ([[detectContextualBucketed]] — KgRunner's docs materialization is the
+    * production hook for this write).
+    */
+  def writeArticleBucketed(docs: Dataset[PyramidDoc], path: String,
+                           buckets: Int = CtxBuckets): Unit =
+    docs.toDF()
+      .withColumn("article_id", articleIdCol)
+      .repartition(buckets, col("article_id"))
+      .sortWithinPartitions("article_id", "doc_id")
+      .drop("article_id")
+      .write.mode("overwrite").parquet(path)
+
+  /** N12 with ZERO shuffle over the article-bucketed layout: each task scans
+    * its bucket file and groups CONSECUTIVE docs of the same article (the
+    * write above guarantees contiguity + doc_id order), then runs the same
+    * windowed inference as [[detectContextual]]. KgPipelineSpec pins row-set
+    * equality with the shuffle path and asserts the plan contains no
+    * Exchange.
+    *
+    * Correctness precondition (documented at the write): a bucket file must
+    * not be split mid-article — guaranteed when each file is one parquet row
+    * group (FileScan splits only at row-group boundaries).
+    */
+  def detectContextualBucketed(spark: SparkSession, path: String,
+                               bcModel: Broadcast[Model],
+                               bcVar: Broadcast[VariantWeights]): Dataset[Mention] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[PyramidDoc].mapPartitions { it =>
+      val m = bcModel.value
+      val vi = new PyramidVariantInference(new PyramidInference(m.weights, m.vocab), bcVar.value)
+      val buf = it.buffered
+      new Iterator[Seq[Mention]] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): Seq[Mention] = {
+          val aid = articleIdOf(buf.head.doc_id)
+          val group = scala.collection.mutable.ArrayBuffer.empty[PyramidDoc]
+          while (buf.hasNext && articleIdOf(buf.head.doc_id) == aid) group += buf.next()
+          ctxWindows(group.toIndexedSeq).flatMap { case (d, pre, post) =>
+            detectDocWith(d, toks => vi.detectContextual(toks, pre, post, m.codec))
+          }
+        }
+      }.flatten
+    }
+  }
+
   /** Deterministic stand-in for a precomputed sentence-transformer document
     * embedding (N13 third encoder): keyed on doc_id only (a document-level
     * vector, unlike the per-token lmVec). `dim` = the variant ctxDim.
@@ -265,8 +329,10 @@ object Mentions {
     val joined = docs.toDF().join(st.select(col("doc_id"), col("emb").as("st")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("spans"), col("st"))
       .as[StDocRow]
-    val par = spark.sparkContext.defaultParallelism
-    val wide = if (joined.rdd.getNumPartitions < par) joined.repartition(par) else joined
+    // unconditional widen: probing joined.rdd.getNumPartitions would force an
+    // extra RDD planning of the join, and the pre-AQE count is unreliable
+    // anyway; the context tables are slice-sized, so the repartition is cheap
+    val wide = joined.repartition(spark.sparkContext.defaultParallelism)
     wide.mapPartitions { it =>
       val m = bcModel.value
       val inf = new PyramidInference(m.weights, m.vocab)

@@ -126,7 +126,63 @@ object KgRunner {
       }
     }
     val total = io.read(spark, "triples").count()
+
+    // ---- global compaction (first-class stage): the per-bucket triple
+    // outputs are idempotent but only distinct WITHIN a bucket — the same
+    // triple derived from docs in two buckets appears twice in the union.
+    // The compacted table is the global-distinct view, committed with its own
+    // atomic manifest (count + which buckets it covers), so a kill between
+    // bucket commits and compaction just re-compacts on resume.
+    val compacted = io.read(spark, "triples").select("subj", "pred", "obj").distinct()
+    io.write(compacted, "triples_compacted")
+    val nCompacted = io.read(spark, "triples_compacted").count()
+    val allBuckets = committedBuckets(out).toSeq.sorted
+    val tmp = out.resolve("manifest").resolve(".tmp-compact.json")
+    Files.writeString(tmp,
+      s"""{"status":"done","n_triples":$nCompacted,"buckets":${allBuckets.mkString("[", ",", "]")}}""")
+    Files.move(tmp, out.resolve("manifest").resolve("compact.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+
     RunReport(processed.toSeq, done.toSeq.sorted, total)
+  }
+
+  /** Idempotent staged run for the driver gate: executes the bucketed
+    * checkpointed pipeline ONCE per corpus state (file-level signature of
+    * documents.parquet — an in-place regeneration invalidates it) and leaves
+    * the compacted table for `kg_triples_compacted` to read.
+    */
+  def ensureRun(spark: SparkSession, sfDir: String, outDir: String,
+                buckets: Int = 4): Unit = synchronized {
+    val marker = Paths.get(outDir, "_RUNSIG")
+    val sig = corpusSig(sfDir)
+    if (Files.exists(marker) && Files.readString(marker) == sig) return
+    // stale or absent: rebuild from scratch (a resume against a CHANGED
+    // corpus would silently mix old and new buckets)
+    if (Files.exists(Paths.get(outDir))) {
+      val it = Files.walk(Paths.get(outDir)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator()
+      while (it.hasNext) Files.deleteIfExists(it.next())
+    }
+    run(spark, sfDir, outDir, buckets)
+    Files.writeString(marker, sig)
+  }
+
+  /** file-level corpus signature (names + sizes + mtimes, no scan) */
+  private def corpusSig(sfDir: String): String = {
+    val dir = Paths.get(s"$sfDir/documents.parquet")
+    val parts =
+      if (Files.isDirectory(dir)) {
+        val it = Files.list(dir).iterator()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val p = it.next()
+          b += s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+        }
+        b.result().sorted
+      } else Seq(s"${dir.getFileName}:${Files.size(dir)}:${Files.getLastModifiedTime(dir).toMillis}")
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(s => d.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    GoldRef.bytesToHex(d.digest())
   }
 
   /** buckets with a committed manifest record */
@@ -170,7 +226,7 @@ object KgRunner {
     */
   def metrics(spark: SparkSession, outDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode_outer}
-    spark.read.option("multiLine", "true").json(s"$outDir/manifest/*.json")
+    spark.read.option("multiLine", "true").json(s"$outDir/manifest/bucket-*.json")
       .select(col("bucket"), col("n_docs"), col("n_mentions"), col("n_triples"),
         col("wall_ms"), explode_outer(col("lineage")).as("task_lineage"))
       .select(col("bucket"), col("n_docs"), col("n_mentions"), col("n_triples"),

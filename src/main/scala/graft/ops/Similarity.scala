@@ -104,8 +104,35 @@ object Similarity {
     */
   private val centroidCache = scala.collection.concurrent.TrieMap.empty[String, Seq[Array[Float]]]
 
+  /** File-level corpus signature (names + sizes + mtimes of the embeddings
+    * parquet — no data scan): an in-place regeneration of the corpus under
+    * the same sfDir changes it, invalidating both the per-JVM centroid cache
+    * and the on-disk IVF index marker.
+    */
+  private[ops] def corpusSig(sfDir: String): String = {
+    val dir = java.nio.file.Paths.get(s"$sfDir/embeddings.parquet")
+    val parts =
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val it = java.nio.file.Files.list(dir).iterator()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val p = it.next()
+          b += s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+        }
+        b.result().sorted
+      } else if (java.nio.file.Files.exists(dir))
+        // single-file parquet (small SFs): same name:size:mtime triple
+        Seq(s"${dir.getFileName}:${java.nio.file.Files.size(dir)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(dir).toMillis}")
+      else Seq(dir.toString)
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(s => d.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    graft.kg.GoldRef.bytesToHex(d.digest())
+  }
+
   def kmeansCentroids(spark: SparkSession, sfDir: String): Seq[Array[Float]] =
-    centroidCache.getOrElseUpdate(sfDir, {
+    centroidCache.getOrElseUpdate(s"$sfDir|${corpusSig(sfDir)}", {
       val e = embDf(spark, sfDir).select("vec_id", "embedding").cache()
       var cents = e.orderBy(md5(col("vec_id").cast("string"))).limit(IvfClusters)
         .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
@@ -185,14 +212,19 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cluster").parquet(indexDir)
   }
 
-  /** once-per-JVM index build guard (the index is deterministic per sfDir —
-    * centroids come from the cached seeded k-means)
+  /** Corpus-signature marker next to the index (same scheme as
+    * ReaderStage._STAGED): rebuilds are gated on marker mismatch, so an
+    * in-place corpus regeneration can never serve stale inverted lists (even
+    * within one JVM), and a fresh JVM skips the rebuild when the on-disk
+    * index already matches the corpus.
     */
-  private val indexBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
-
   def ensureIvfIndex(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
-    indexBuilt.getOrElseUpdate(indexDir, { buildIvfIndex(spark, sfDir, indexDir); true })
-    ()
+    val marker = java.nio.file.Paths.get(indexDir, "_CORPUS_SIG")
+    val sig = corpusSig(sfDir)
+    if (java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == sig) return
+    buildIvfIndex(spark, sfDir, indexDir)
+    java.nio.file.Files.writeString(marker, sig)
   }
 
   /** Query path over the materialized index: probe clusters are resolved

@@ -315,6 +315,16 @@ object ReaderStage {
   def stageDir(sfDir: String): Path =
     Paths.get(StageRoot, Paths.get(sfDir).getFileName.toString)
 
+  /** delete files in `dir` whose names are not in `keep` */
+  private def dropStaleShards(dir: Path, keep: Set[String]): Unit = {
+    if (!Files.isDirectory(dir)) return
+    val it = Files.list(dir).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (!keep.contains(p.getFileName.toString)) Files.deleteIfExists(p)
+    }
+  }
+
   private def writeIfChanged(p: Path, content: String): Unit =
     writeBytesIfChanged(p, content.getBytes(StandardCharsets.UTF_8))
 
@@ -363,7 +373,8 @@ object ReaderStage {
     writeIfChanged(dir.resolve("wiki.jsonl"), wikiJsonl(docs))
     writeIfChanged(dir.resolve("glove.csv"), gloveCsv(docs))
     writeBytesIfChanged(dir.resolve("vectors.bin"), word2vecBin(docs))
-    wrgRecords(docs).groupBy(_._1).foreach { case (shard, recs) =>
+    val wrgByShard = wrgRecords(docs).groupBy(_._1)
+    wrgByShard.foreach { case (shard, recs) =>
       writeIfChanged(dir.resolve(s"wrg/part-$shard.wrg"),
         recs.map(_._2).mkString("\n") + "\n")
     }
@@ -373,6 +384,12 @@ object ReaderStage {
       writeIfChanged(dir.resolve(s"iob2/part-$shard.iob2"),
         recs.map(_._2).mkString("\n\n") + "\n")
     }
+    // stale shards from a previous staging (a shrunk corpus maps to fewer
+    // shards) would be consumed by the DIRECTORY readers while the
+    // regenerated oracle mirrors exclude them — delete anything not in the
+    // freshly generated shard sets
+    dropStaleShards(dir.resolve("wrg"), wrgByShard.keySet.map(s => s"part-$s.wrg"))
+    dropStaleShards(dir.resolve("iob2"), iobByShard.keySet.map(s => s"part-$s.iob2"))
     // the reference converter's own output over the staged iob2 — the
     // DuckDB oracle for the distributed iob2 parse reads this json
     writeIfChanged(dir.resolve("iob2_rasa.json"),

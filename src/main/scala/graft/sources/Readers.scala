@@ -163,17 +163,22 @@ object Readers {
     * continues the run (`span[j].startswith('I')` checks the prefix only).
     * Offsets are char offsets under the single-space join, like the
     * reference's `offset += len(tokens[i]) + 1` walk.
+    *
+    * Ragged rows (lines with differing tag-column counts) follow the
+    * reference's `zip(*spans)` (`iob2_to_rasa.py:13`): the transpose
+    * TRUNCATES to the shortest row's tag count, so extra columns on longer
+    * rows are silently dropped (ReadersSpec pins this with a ragged fixture).
     */
   def parseIob2(content: String): Seq[(String, Seq[WrgEntity])] =
     content.trim.split("\n\n").toSeq.filter(_.trim.nonEmpty).map { sm =>
       val rows = sm.trim.split("\n").map(_.split("\t", -1))
       val tokens = rows.map(_.head)
-      val nCols = rows.map(_.length - 1).max.max(0)
+      val nCols = rows.map(_.length - 1).min.max(0)
       var off = 0
       val offs = tokens.map { t => val s = off; off += t.length + 1; s }
       val ents = for {
         c <- 0 until nCols
-        span = rows.map(r => if (c + 1 < r.length) r(c + 1) else "O")
+        span = rows.map(r => r(c + 1))
         i <- tokens.indices
         if span(i).startsWith("B")
       } yield {
@@ -308,6 +313,53 @@ object Readers {
       (u / 1000000.0 - 1.0).toFloat
     }
     WordVectors(rows.map(_._1), pad +: rows.map(_._2) :+ unk)
+  }
+
+  /** Distributed unit-normalization of the word-vector table (ref
+    * `genia/utils/wvlib.py:404` `normalize` / `:216` `word_to_unit_vector`):
+    * one codegen'd projection over the csv scan — norm and unit components
+    * per word, 6dp-rounded so the DuckDB oracle can re-derive them exactly.
+    * The reference normalizes the whole matrix in place before repeated
+    * `word_similarity` calls; the distributed analogue is this one-pass
+    * derived table.
+    */
+  def wordVectorNorm(spark: SparkSession, csvPath: String): DataFrame = {
+    val df = spark.read.csv(csvPath)
+    val dims = df.columns.length - 1
+    val vcols = (1 to dims).map(i => col(s"_c$i").cast("double"))
+    val nrm = sqrt(vcols.map(c => c * c).reduce(_ + _))
+    df.select((col("_c0").as("word") +: round(nrm, 6).as("norm") +:
+      vcols.zipWithIndex.map { case (c, i) => round(c / nrm, 6).as(s"u$i") }): _*)
+  }
+
+  /** Distributed `nearest` (ref `wvlib.py:304`): top-`n` most-similar words
+    * per probe word by cosine over unit vectors, excluding the probe itself
+    * (the reference's `exclude = set([w])` default). Probes are the
+    * alphabetically-first `nProbes` lexicon words — deterministic, like the
+    * reference's rank-ordered vocab. The probe side is a driver-sized
+    * broadcast (nProbes rows); the vector table streams through one
+    * codegen'd projection + a top-k window per probe — no shuffle of the
+    * full table beyond the rank partition (nProbes × |vocab| rows max).
+    * Ordering ties (at 6dp) break on word, making the rank total on both
+    * engines.
+    */
+  def wordVectorNearest(spark: SparkSession, csvPath: String,
+                        nProbes: Int = 5, n: Int = 10): DataFrame = {
+    val df = spark.read.csv(csvPath)
+    val dims = df.columns.length - 1
+    val vcols = (1 to dims).map(i => col(s"_c$i").cast("double"))
+    val nrm = sqrt(vcols.map(c => c * c).reduce(_ + _))
+    val unit = df.select((col("_c0").as("word") +:
+      vcols.zipWithIndex.map { case (c, i) => (c / nrm).as(s"u$i") }): _*)
+    val probes = unit.orderBy("word").limit(nProbes)
+      .select((col("word").as("probe") +:
+        (0 until dims).map(i => col(s"u$i").as(s"p$i"))): _*)
+    val dot = (0 until dims).map(i => col(s"p$i") * col(s"u$i")).reduce(_ + _)
+    val sims = unit.join(broadcast(probes), col("word") =!= col("probe"))
+      .select(col("probe"), col("word"), round(dot, 6).as("sim"))
+    val w = Window.partitionBy("probe").orderBy(col("sim").desc, col("word"))
+    sims.withColumn("rank", row_number().over(w)).where(col("rank") <= n)
+      .select("probe", "rank", "word", "sim")
   }
 
   /** word2vec C-binary loader (the `.bin` branch of S9, ref

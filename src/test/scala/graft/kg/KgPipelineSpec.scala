@@ -80,6 +80,34 @@ class KgPipelineSpec extends AnyFunSuite {
       "no mention longer than the default depth — genia layers 5..8 unexercised")
   }
 
+  test("article-bucketed contextual detection == shuffle path, with no Exchange in plan") {
+    import spark.implicits._
+    val docs = spark.createDataset(goldDocs)
+    val bcM = spark.sparkContext.broadcast(model)
+    val bcV = spark.sparkContext.broadcast(
+      graft.core.VariantWeights.build(Mentions.ModelSeed, ModelConfig(), Mentions.Kinds.length))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctx_bucketed").toString
+    Mentions.writeArticleBucketed(docs, dir)
+    // layout invariant: every article's docs land wholly in ONE read split
+    val placement = spark.read.parquet(dir).as[PyramidDoc]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.map(d => (Mentions.articleIdOf(d.doc_id), pid))
+      }.distinct().collect().groupBy(_._1)
+    placement.foreach { case (aid, ps) =>
+      assert(ps.length == 1, s"article $aid straddles read splits: ${ps.mkString(",")}")
+    }
+    val bucketed = Mentions.detectContextualBucketed(spark, dir, bcM, bcV)
+    // the whole point: NO shuffle — the groupByKey exchange is gone
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed ctx plan must be shuffle-free:\n${plan.take(1000)}")
+    def key(ms: Array[Mention]) = ms.map(m =>
+      (m.doc_id, m.kind, m.start_tok, m.len, m.order, m.media_ref)).sorted.toSeq
+    val shuffled = Mentions.detectContextual(docs, bcM, bcV).collect()
+    assert(key(bucketed.collect()) == key(shuffled), "bucketed path must equal shuffle path")
+    assert(shuffled.nonEmpty)
+  }
+
   test("alias dictionary matches the sequential re-derivation") {
     val got = AliasDict.build(DocGen.docs(spark, sfDir))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),

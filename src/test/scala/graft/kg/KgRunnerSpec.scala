@@ -33,6 +33,12 @@ class KgRunnerSpec extends AnyFunSuite {
       assert(b.nDocs > 0 && b.nTriples > 0 && b.lineage.nonEmpty, s"bucket ${b.bucket}")
       assert(b.lineage.map(_._2).sum == b.nMentions, s"lineage sums for bucket ${b.bucket}")
     }
+    // global compaction: committed, counted, and equal to the distinct view
+    val compacted = tripleSet(spark.read.parquet(s"$out/triples_compacted"))
+    assert(compacted == want)
+    val compactJson = Files.readString(java.nio.file.Paths.get(out, "manifest", "compact.json"))
+    assert(compactJson.contains(s""""n_triples":${compacted.size}"""))
+    assert(compactJson.contains(""""buckets":[0,1,2,3]"""))
     // metrics table view agrees with the in-memory report
     val m = KgRunner.metrics(spark, out).collect()
     assert(m.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
@@ -54,9 +60,28 @@ class KgRunnerSpec extends AnyFunSuite {
     val got = tripleSet(KgRunner.triples(spark, out).select("subj", "pred", "obj").distinct())
     val want = tripleSet(Triples.pipeline(spark, sfDir).select("subj", "pred", "obj").distinct())
     assert(got == want)
+    // kill-resume equality holds on the COMPACTED output too (the killed run
+    // never reached compaction; the resume must leave a complete compact)
+    assert(tripleSet(spark.read.parquet(s"$out/triples_compacted")) == want)
     // second resume is a no-op
     val again = KgRunner.run(spark, sfDir, out, buckets = 4)
     assert(again.processed.isEmpty && again.skipped.size == 4)
+  }
+
+  test("ensureRun stages once per corpus signature and serves the compacted table") {
+    val out = Files.createTempDirectory("graft_runner_ensure").toString
+    KgRunner.ensureRun(spark, sfDir, out)
+    val marker = java.nio.file.Paths.get(out, "_RUNSIG")
+    assert(Files.exists(marker))
+    val t1 = Files.getLastModifiedTime(marker)
+    val compactPath = java.nio.file.Paths.get(out, "manifest", "compact.json")
+    val c1 = Files.getLastModifiedTime(compactPath)
+    KgRunner.ensureRun(spark, sfDir, out) // unchanged corpus → full no-op
+    assert(Files.getLastModifiedTime(marker) == t1 &&
+      Files.getLastModifiedTime(compactPath) == c1, "unchanged corpus must not rerun")
+    val got = tripleSet(spark.read.parquet(s"$out/triples_compacted"))
+    val want = tripleSet(Triples.pipeline(spark, sfDir).select("subj", "pred", "obj").distinct())
+    assert(got == want && got.nonEmpty)
   }
 
   test("resume with a changed buckets argument uses the recorded run manifest") {

@@ -177,6 +177,37 @@ class OpsSpec extends AnyFunSuite {
       "indexed query path must be row-identical to the in-memory join path")
   }
 
+  test("IVF index staleness guard: no rebuild when unchanged, rebuild on corpus change") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // private corpus copy so the "in-place regeneration" can be simulated
+    // without touching the shared testdata
+    val tmpSf = Files.createTempDirectory("graft_ivf_sf")
+    val src = Paths.get(s"$sfDir/embeddings.parquet")
+    val dst = tmpSf.resolve("embeddings.parquet")
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      Files.list(src).forEach(p =>
+        Files.copy(p, dst.resolve(p.getFileName.toString), StandardCopyOption.COPY_ATTRIBUTES))
+    } else Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES)
+    val idx = Files.createTempDirectory("graft_ivf_guard").toString
+    Similarity.ensureIvfIndex(spark, tmpSf.toString, idx)
+    val marker = Paths.get(idx, "_CORPUS_SIG")
+    assert(Files.exists(marker))
+    val sig1 = Files.readString(marker)
+    val t1 = Files.getLastModifiedTime(marker)
+    Similarity.ensureIvfIndex(spark, tmpSf.toString, idx)
+    assert(Files.getLastModifiedTime(marker) == t1, "unchanged corpus must not rebuild")
+    // in-place regeneration = same path, new file mtime
+    val dataFile =
+      if (Files.isDirectory(dst))
+        Files.list(dst).filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      else dst
+    Files.setLastModifiedTime(dataFile, java.nio.file.attribute.FileTime.fromMillis(
+      Files.getLastModifiedTime(dataFile).toMillis + 5000))
+    Similarity.ensureIvfIndex(spark, tmpSf.toString, idx)
+    assert(Files.readString(marker) != sig1, "regenerated corpus must rebuild the index")
+  }
+
   test("exact dedup groups cover all docs; jaccard pairs are symmetric-free and thresholded") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val groups = Dedup.exact(spark, sfDir)
@@ -236,6 +267,42 @@ class OpsSpec extends AnyFunSuite {
     byText.take(5).foreach { group =>
       val sigs = group.flatMap(d => a.get(d._1)).distinct
       assert(sigs.length <= 1, "equal texts must share a signature")
+    }
+  }
+
+  test("ImageIO PNG codec round-trips: decode reproduces pre-encode pixels") {
+    val img = Multimodal.ImageCodec.genImage("m://spec-test")
+    val expected = (img.getWidth, img.getHeight, Multimodal.ImageCodec.pixelMd5(img))
+    val d = Multimodal.ImageCodec.decodePng(Multimodal.ImageCodec.pngBytes(img))
+    assert((d.width, d.height, d.pixel_md5) == expected)
+    // a truncated payload must fail loudly, not hash-mismatch silently
+    val bad = Multimodal.ImageCodec.pngBytes(img).take(20)
+    intercept[Exception](Multimodal.ImageCodec.decodePng(bad))
+  }
+
+  test("distributed PNG decode matches the staged pre-encode expectations") {
+    val stage = graft.kg.KgStage.stage(spark, sfDir)
+    val table = s"$stage/media_png.parquet"
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val got = keyed(Multimodal.decodePng(spark, table))
+    val want = keyed(spark.read.parquet(table)
+      .select(col("media_ref"), col("width"), col("height"), col("pixel_md5")))
+    assert(got.nonEmpty && got == want)
+    // the decode scan must read only (media_ref, png) — expectation columns
+    // pruned, so the equality above cannot be a pass-through
+    val plan = Multimodal.decodePng(spark, table)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<media_ref:string,png:binary>"),
+      s"decode path must scan only (media_ref, png):\n${plan.take(1200)}")
+    // ImageIoDecoder swaps into the MediaDecoder seam over real payloads
+    import spark.implicits._
+    val rows = spark.read.parquet(table).limit(5)
+      .select(col("media_ref"), col("png"), col("width"), col("height")).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3)))
+    rows.foreach { case (_, png, w, h) =>
+      val (dw, dh, nf, feat) = Multimodal.ImageIoDecoder.decode(png)
+      assert((dw, dh, nf) == ((w, h, 1)) && feat.length == 8)
     }
   }
 

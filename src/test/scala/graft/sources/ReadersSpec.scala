@@ -239,6 +239,23 @@ class ReadersSpec extends AnyFunSuite {
     assert(recs(1) == (("solo", Seq())))
   }
 
+  test("iob2 parser: ragged rows truncate to the shortest tag count (zip(*spans))") {
+    // the reference transposes with zip(*spans) (iob2_to_rasa.py:13), which
+    // TRUNCATES every column to the shortest row's tag count — a longer
+    // row's extra columns are silently dropped. Pin that here: row 2 has a
+    // second column carrying B-LOC, but row 1 has only one tag column, so
+    // column 2 never exists and the LOC entity must NOT be emitted.
+    val ragged = "alpha\tB-PER\nbeta\tI-PER\tB-LOC\ngamma\tO\tI-LOC\n"
+    val recs = Readers.parseIob2(ragged)
+    assert(recs.length == 1)
+    val (text, ents) = recs(0)
+    assert(text == "alpha beta gamma")
+    assert(ents.toList == List(Readers.WrgEntity("PER", "alpha beta", 0, 10)))
+    // a row with zero tag columns truncates EVERYTHING away
+    val zeroCol = "alpha\tB-PER\nbare\n"
+    assert(Readers.parseIob2(zeroCol) == Seq(("alpha bare", Seq())))
+  }
+
   test("iob2 reader == reference converter output (round-trip through the rasa reader)") {
     // distributed parse of a staged shard vs the sequential iob2→rasa
     // converter parsed back through the S1 rasa reader
