@@ -123,8 +123,8 @@ object CcBench {
     md ++= "  The production `DriverCcThreshold = 500k` sits below the measured crossover\n"
     md ++= "  — conservative in the right direction (never slower AND never OOM).\n"
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/ROUND4.md"), md.toString,
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    Files.writeString(Paths.get("BENCH/ROUND4_CC.md"), md.toString,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     spark.stop()
   }
 }

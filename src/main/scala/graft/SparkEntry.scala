@@ -364,6 +364,12 @@ object SparkEntry {
       // wvlib nearest (ref wvlib.py:304): top-10 cosine neighbors per probe
       "src_wordvec_nearest" -> ((s, dir) =>
         Readers.wordVectorNearest(s, s"${stagePath(s, dir)}/glove.csv")),
+      // wvlib approximate_nearest (ref wvlib.py:331): hyperplane-LSH
+      // signatures, Hamming-ball candidates, exact cosine re-rank
+      "src_wordvec_ann" -> ((s, dir) => {
+        val sp = stagePath(s, dir)
+        Readers.wordVectorAnnLsh(s, s"$sp/glove.csv", s"$sp/lsh_planes.csv")
+      }),
     )
   }
 
@@ -767,6 +773,47 @@ object SparkEntry {
          |         AS INT) AS rank
          |  FROM sims)
          |SELECT probe, rank, word, sim FROM ranked WHERE rank <= 10""".stripMargin,
+    // wvlib approximate_nearest: signatures re-derived from the staged
+    // hyperplanes, Hamming-ball candidates, exact cosine re-rank
+    "src_wordvec_ann" ->
+      s"""WITH pl AS (
+         |  SELECT CAST(column0 AS INT) AS bit,
+         |    column1 AS q0, column2 AS q1, column3 AS q2, column4 AS q3,
+         |    column5 AS q4, column6 AS q5, column7 AS q6, column8 AS q7
+         |  FROM read_csv('$StagePath/lsh_planes.csv', header = false)),
+         |v AS (
+         |  SELECT column0 AS word,
+         |    sqrt(column1*column1 + column2*column2 + column3*column3
+         |       + column4*column4 + column5*column5 + column6*column6
+         |       + column7*column7 + column8*column8) AS nrm,
+         |    column1 AS v0, column2 AS v1, column3 AS v2, column4 AS v3,
+         |    column5 AS v4, column6 AS v5, column7 AS v6, column8 AS v7
+         |  FROM read_csv('$StagePath/glove.csv', header = false)),
+         |sg AS (
+         |  SELECT word, CAST(SUM(CASE
+         |    WHEN q0*v0 + q1*v1 + q2*v2 + q3*v3 + q4*v4 + q5*v5 + q6*v6 + q7*v7 > 0
+         |    THEN CAST(1 AS BIGINT) << (5 - bit) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM v, pl GROUP BY word),
+         |u AS (
+         |  SELECT v.word, sig, v0/nrm AS u0, v1/nrm AS u1, v2/nrm AS u2,
+         |    v3/nrm AS u3, v4/nrm AS u4, v5/nrm AS u5, v6/nrm AS u6, v7/nrm AS u7
+         |  FROM v JOIN sg ON v.word = sg.word),
+         |p AS (
+         |  SELECT word AS probe, sig AS psig, u0 AS p0, u1 AS p1, u2 AS p2,
+         |    u3 AS p3, u4 AS p4, u5 AS p5, u6 AS p6, u7 AS p7
+         |  FROM u ORDER BY word LIMIT 5),
+         |cand AS (
+         |  SELECT probe, word, CAST(bit_count(xor(sig, psig)) AS INT) AS hd,
+         |    round(p0*u0 + p1*u1 + p2*u2 + p3*u3 + p4*u4 + p5*u5 + p6*u6 + p7*u7,
+         |          6) AS sim
+         |  FROM p, u WHERE word != probe),
+         |scored AS (
+         |  SELECT probe, word, hd, round(cos(pi() * hd / 6), 6) AS approx_sim, sim,
+         |    CAST(row_number() OVER (PARTITION BY probe ORDER BY sim DESC, word)
+         |         AS INT) AS rank
+         |  FROM cand WHERE hd <= 2)
+         |SELECT probe, rank, word, hd, approx_sim, sim
+         |FROM scored WHERE rank <= 10""".stripMargin,
     // wrg parses: the stager writes JSONL mirrors of exactly the rows the
     // distributed wrg parser must produce (the 4-line wrg text itself is not
     // SQL-parseable; the parsed relation is)

@@ -304,6 +304,28 @@ object ReaderStage {
     bos.toByteArray
   }
 
+  /** Random-hyperplane LSH planes (ref `wvlib.py:1311` RandomHyperplaneLSH /
+    * `:390` `_initialize_lsh`): `LshBits` rows of `WvDims` components each,
+    * deterministic per (bit, dim) like [[wvValue]] so the DuckDB oracle can
+    * re-derive every signature from the same staged csv. Bit count follows
+    * the reference's `_lsh_bits` formula `max(4, ceil(log2(w)))` at the
+    * staged vocab cap (`WvWords` = 64 → 6). The reference notes
+    * normalization of the planes is "not strictly required"
+    * (`wvlib.py:1322`) — sign of the dot product is scale-invariant — so the
+    * staged planes are raw uniform values in [-1, 1].
+    */
+  val LshBits = 6
+
+  def lshPlaneValue(bit: Int, dim: Int): Float = {
+    val u = java.lang.Long.remainderUnsigned(Rng.streamKey(s"lshp#$bit#$dim"), 2000001L)
+    f"${u / 1000000.0 - 1.0}%.6f".toFloat
+  }
+
+  def lshPlanesCsv: String =
+    (0 until LshBits).map { b =>
+      (b.toString +: (0 until WvDims).map(j => f"${lshPlaneValue(b, j)}%.6f")).mkString(",")
+    }.mkString("", "\n", "\n")
+
   // ---------------------------------------------------------------- layout
 
   /** Absolute root so the oracle SQL (which embeds the path) is independent
@@ -345,7 +367,7 @@ object ReaderStage {
     * signature otherwise hashes only the INPUT corpus, and an old stage dir
     * would silently short-circuit the new outputs
     */
-  val StageVersion = "stage-v4" // v4: + vectors.bin (word2vec C binary), iob2 shards + converted rasa mirror
+  val StageVersion = "stage-v5" // v5: + lsh_planes.csv (random-hyperplane LSH planes for approximate_nearest)
 
   private def signature(docs: Seq[(Long, String)]): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -373,6 +395,7 @@ object ReaderStage {
     writeIfChanged(dir.resolve("wiki.jsonl"), wikiJsonl(docs))
     writeIfChanged(dir.resolve("glove.csv"), gloveCsv(docs))
     writeBytesIfChanged(dir.resolve("vectors.bin"), word2vecBin(docs))
+    writeIfChanged(dir.resolve("lsh_planes.csv"), lshPlanesCsv)
     val wrgByShard = wrgRecords(docs).groupBy(_._1)
     wrgByShard.foreach { case (shard, recs) =>
       writeIfChanged(dir.resolve(s"wrg/part-$shard.wrg"),

@@ -362,6 +362,55 @@ object Readers {
       .select("probe", "rank", "word", "sim")
   }
 
+  /** Distributed `approximate_nearest` (ref `wvlib.py:331` via
+    * `RandomHyperplaneLSH`, Charikar 2002): per-word `bits`-bit signatures
+    * from staged random hyperplanes (sign of plane·vector, first plane =
+    * most-significant bit, `wvlib.py:1330`), candidates = the Hamming ball
+    * `popcount(sig_probe XOR sig_word) <= maxHd` (the reference walks the
+    * Hamming neighborhood in increasing-distance order, `wvlib.py:1357`; a
+    * distance-bounded ball is the deterministic set-valued analogue of its
+    * `islice` count cutoff), then exact cosine re-rank of the candidates
+    * exactly like `nearest` (`wvlib.py:344` hands candidates to the exact
+    * path). Also reports `hd` and the reference's hash-approximated cosine
+    * `cos(pi * hd / bits)` (`wvlib.py:1501`). Signature computation is one
+    * codegen'd projection (planes are a driver-side constant folded into the
+    * expression); the probe side is a broadcast; the only wide op is the
+    * per-probe top-k window — same scale shape as [[wordVectorNearest]].
+    */
+  def wordVectorAnnLsh(spark: SparkSession, csvPath: String, planesPath: String,
+                       nProbes: Int = 5, n: Int = 10, maxHd: Int = 2): DataFrame = {
+    val planes: Array[Array[Double]] =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(planesPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split('\n').filter(_.nonEmpty)
+        .map(_.split(',').drop(1).map(_.toDouble))
+    val bits = planes.length
+    val df = spark.read.csv(csvPath)
+    val dims = df.columns.length - 1
+    val vcols = (1 to dims).map(i => col(s"_c$i").cast("double"))
+    // h <<= 1; if dot > 0: h |= 1  — plane b contributes bit (bits-1-b)
+    val sig = planes.zipWithIndex.map { case (q, b) =>
+      val dot = (0 until dims).map(i => lit(q(i)) * vcols(i)).reduce(_ + _)
+      when(dot > 0d, lit(1L << (bits - 1 - b))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val nrm = sqrt(vcols.map(c => c * c).reduce(_ + _))
+    val unit = df.select((col("_c0").as("word") +: sig.as("sig") +:
+      vcols.zipWithIndex.map { case (c, i) => (c / nrm).as(s"u$i") }): _*)
+    val probes = unit.orderBy("word").limit(nProbes)
+      .select((col("word").as("probe") +: col("sig").as("psig") +:
+        (0 until dims).map(i => col(s"u$i").as(s"p$i"))): _*)
+    val hd = bit_count(col("sig").bitwiseXOR(col("psig"))).cast("int")
+    val dot = (0 until dims).map(i => col(s"p$i") * col(s"u$i")).reduce(_ + _)
+    val cand = unit.join(broadcast(probes), col("word") =!= col("probe"))
+      .withColumn("hd", hd).where(col("hd") <= maxHd)
+      .select(col("probe"), col("word"), col("hd"),
+        round(cos(lit(math.Pi) * col("hd") / bits), 6).as("approx_sim"),
+        round(dot, 6).as("sim"))
+    val w = Window.partitionBy("probe").orderBy(col("sim").desc, col("word"))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= n)
+      .select("probe", "rank", "word", "hd", "approx_sim", "sim")
+  }
+
   /** word2vec C-binary loader (the `.bin` branch of S9, ref
     * `genia/utils/load_wv.py:5-24` + wvlib): ASCII header `"<n> <dim>\n"`,
     * then per record a space-terminated word followed by `dim` little-endian

@@ -225,6 +225,57 @@ class ReadersSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Readers.loadWordVectorsBin(badPath.toString) }
   }
 
+  test("approximate_nearest: LSH signatures + Hamming-ball candidates == sequential re-derivation") {
+    // independent driver-side port of wvlib.py:331 approximate_nearest over
+    // the same staged csvs: sign-bit signatures (first plane = MSB,
+    // wvlib.py:1330), hd <= 2 candidate ball, exact cosine re-rank
+    def rows(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+      .split('\n').filter(_.nonEmpty).map(_.split(','))
+    val planes = rows(s"$stageDir/lsh_planes.csv").map(_.drop(1).map(_.toDouble))
+    val bits = planes.length
+    val words = rows(s"$stageDir/glove.csv").map(r => (r(0), r.drop(1).map(_.toDouble)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sigs = words.map { case (w, v) =>
+      w -> planes.zipWithIndex.map { case (q, b) =>
+        val dot = (0 until v.length).map(i => q(i) * v(i)).reduce(_ + _)
+        if (dot > 0) 1L << (bits - 1 - b) else 0L
+      }.sum
+    }.toMap
+    val units = words.map { case (w, v) =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      w -> v.map(_ / nrm)
+    }.toMap
+    val expected = words.map(_._1).sorted.take(5).flatMap { probe =>
+      val pu = units(probe)
+      val cands = words.map(_._1).filter(_ != probe)
+        .map { w =>
+          val hd = java.lang.Long.bitCount(sigs(w) ^ sigs(probe))
+          val dot = (0 until pu.length).map(i => pu(i) * units(w)(i)).reduce(_ + _)
+          (w, hd, r6(math.cos(math.Pi * hd / bits)), r6(dot))
+        }
+        .filter(_._2 <= 2)
+        .sortBy { case (w, _, _, sim) => (-sim, w) }
+      cands.take(10).zipWithIndex.map { case ((w, hd, as, sim), i) =>
+        (probe, i + 1, w, hd, as, sim)
+      }
+    }.toSet
+    val got = Readers.wordVectorAnnLsh(
+        spark, s"$stageDir/glove.csv", s"$stageDir/lsh_planes.csv")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == expected)
+    assert(got.map(_._1).size == 5, "all 5 probes produce candidates")
+    assert(got.exists(_._4 > 0), "ball is non-trivial (some hd > 0)")
+    assert(got.forall(_._4 <= 2), "every candidate inside the Hamming ball")
+    // the ball actually prunes: some probe sees fewer candidates than the
+    // full vocabulary would offer (otherwise the test exercises nothing)
+    val full = words.length - 1
+    assert(got.groupBy(_._1).exists { case (p, rs) =>
+      rs.size < math.min(10, full) || rs.size < full })
+  }
+
   test("iob2 parser: nested columns, cross-kind I continuation quirk, offsets") {
     // two tag columns (nesting layers); the reference's scan extends a B run
     // over ANY following I- tag, even of a different kind — reproduce it
