@@ -127,30 +127,45 @@ object Bench {
       (kgSec, nTriples, nDocs, nTokens, externalLoad(selfCpus))
     }
 
+    // A headline failure (e.g. an OOM at the genia shape) must not discard
+    // the minutes of battery measurement already done — the single result
+    // line is printed no matter what, with -1 sentinels for the failed
+    // headline (same convention as a failed battery query).
+    def safeHeadline(tag: String, cfg: ModelConfig, amp: Int): (Double, Long, Long, Long, Double) =
+      try headline(cfg, amp)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $tag headline FAILED: ${e.getMessage}")
+          (-1.0, -1L, -1L, -1L, 0.0)
+      }
+
     val primaryCfg = if (cfgName == "genia") ModelConfig.genia else ModelConfig()
-    val (kgSec, nTriples, nDocs, nTokens, kgLoad) = headline(primaryCfg, amplify)
+    val (kgSec, nTriples, nDocs, nTokens, kgLoad) = safeHeadline(cfgName, primaryCfg, amplify)
     // secondary headline at the OTHER config, so every BENCH_r*.json carries
     // both the default-shape and the reference-(GENIA-)shaped throughput
     val secondaryName = if (cfgName == "genia") "default" else "genia"
     val secondaryCfg = if (cfgName == "genia") ModelConfig() else ModelConfig.genia
-    val (gSec, gTriples, gDocs, gTokens, gLoad) = headline(secondaryCfg, amplifyGenia)
+    val (gSec, gTriples, gDocs, gTokens, gLoad) =
+      safeHeadline(secondaryName, secondaryCfg, amplifyGenia)
 
+    import graft.core.Fmt.f1
+    def perSec(n: Long, sec: Double): Double = if (sec > 0) n / sec else -1.0
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val loads = results.map { case (k, (_, l)) => "\"" + k + "\":" + f"$l%.1f" }
+    val loads = results.map { case (k, (_, l)) => "\"" + k + "\":" + f1(l) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2._1).filter(_ >= 0).sum + kgSec
+    val total = results.map(_._2._1).filter(_ >= 0).sum + math.max(kgSec, 0)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""failed":$failedJson,"reps":$reps,"ext_load":$loads,""" +
         s""""stage_prep_sec":$stageSec,"cfg":"$cfgName",""" +
         s""""kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"kg_docs":$nDocs,""" +
-        s""""kg_tokens":$nTokens,"kg_amplify":$amplify,"kg_ext_load":${f"$kgLoad%.1f"},""" +
-        s""""kg_triples_per_sec":${nTriples / kgSec},"kg_tokens_per_sec":${nTokens / kgSec},""" +
+        s""""kg_tokens":$nTokens,"kg_amplify":$amplify,"kg_ext_load":${f1(kgLoad)},""" +
+        s""""kg_triples_per_sec":${perSec(nTriples, kgSec)},"kg_tokens_per_sec":${perSec(nTokens, kgSec)},""" +
         s""""cfg_2":"$secondaryName","kg2_pipeline_sec":$gSec,"kg2_triples":$gTriples,""" +
         s""""kg2_docs":$gDocs,"kg2_tokens":$gTokens,"kg2_amplify":$amplifyGenia,""" +
-        s""""kg2_ext_load":${f"$gLoad%.1f"},""" +
-        s""""kg2_triples_per_sec":${gTriples / gSec},"kg2_tokens_per_sec":${gTokens / gSec}}""")
+        s""""kg2_ext_load":${f1(gLoad)},""" +
+        s""""kg2_triples_per_sec":${perSec(gTriples, gSec)},"kg2_tokens_per_sec":${perSec(gTokens, gSec)}}""")
     spark.stop()
   }
 }

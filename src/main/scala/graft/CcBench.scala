@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Fmt
 import graft.kg.{AliasDict, Canonical, DocGen}
 
 /** Distributed connected-components benchmark (VERDICT r3 next-round #3):
@@ -114,7 +115,7 @@ object CcBench {
     md ++= "Component counts verified against the closed form on every row.\n\n"
     md ++= "| graph | edges | path | star rounds | wall (s) | components |\n|---|---|---|---|---|---|\n"
     rows.foreach { r =>
-      md ++= f"| ${r.graph} | ${r.edges} | ${r.path} | ${r.iterations} | ${r.wallSec}%.1f | ${r.components} |\n"
+      md ++= s"| ${r.graph} | ${r.edges} | ${r.path} | ${r.iterations} | ${Fmt.f1(r.wallSec)} | ${r.components} |\n"
     }
     md ++= "\n- crossover: the driver union-find wins below ~O(10^6) edges (collect +\n"
     md ++= "  single-threaded scan beat ~6 Spark jobs per star round); the star loop's\n"

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
-import graft.core.ModelConfig
+import graft.core.{Fmt, ModelConfig}
 import graft.kg.{DocGen, Mentions, Triples}
 
 /** Two-parallelism-level scaling benchmark (BASELINE.md rows 8-9, north_rule):
@@ -119,11 +119,11 @@ object ScalingBench {
         s""""wall_sec_N":${lo.bestSec},""" +
         s""""n4_cpus":${hi.cpus},"triples_per_sec_4N":${hi.triplesPerSec},""" +
         s""""wall_sec_4N":${hi.bestSec},""" +
-        s""""ext_load_N":${f"${lo.extLoad}%.1f"},"ext_load_4N":${f"${hi.extLoad}%.1f"},""" +
-        s""""cpu_util_N":${f"${lo.cpuUtil}%.3f"},"cpu_util_4N":${f"${hi.cpuUtil}%.3f"},""" +
-        s""""calib_per_thread_N":${f"${lo.calibPerThread}%.0f"},""" +
-        s""""calib_per_thread_4N":${f"${hi.calibPerThread}%.0f"},""" +
-        s""""hw_ceiling":${f"$hwCeiling%.3f"},"sw_scaling_eff":${f"$swEfficiency%.3f"}}"""
+        s""""ext_load_N":${Fmt.f1(lo.extLoad)},"ext_load_4N":${Fmt.f1(hi.extLoad)},""" +
+        s""""cpu_util_N":${Fmt.f3(lo.cpuUtil)},"cpu_util_4N":${Fmt.f3(hi.cpuUtil)},""" +
+        s""""calib_per_thread_N":${Fmt.f0(lo.calibPerThread)},""" +
+        s""""calib_per_thread_4N":${Fmt.f0(hi.calibPerThread)},""" +
+        s""""hw_ceiling":${Fmt.f3(hwCeiling)},"sw_scaling_eff":${Fmt.f3(swEfficiency)}}"""
     println(json)
 
     val md =
@@ -137,23 +137,23 @@ object ScalingBench {
          |
          || level | cores | wall (s) | triples/s | tokens/s | ext. host load | cpu util |
          ||---|---|---|---|---|---|---|
-         || N | ${lo.cpus} | ${f"${lo.bestSec}%.2f"} | ${f"${lo.triplesPerSec}%.0f"} | ${f"${lo.tokensPerSec}%.0f"} | ${f"${lo.extLoad}%.1f"} | ${f"${lo.cpuUtil}%.2f"} |
-         || 4N | ${hi.cpus} | ${f"${hi.bestSec}%.2f"} | ${f"${hi.triplesPerSec}%.0f"} | ${f"${hi.tokensPerSec}%.0f"} | ${f"${hi.extLoad}%.1f"} | ${f"${hi.cpuUtil}%.2f"} |
+         || N | ${lo.cpus} | ${Fmt.f2(lo.bestSec)} | ${Fmt.f0(lo.triplesPerSec)} | ${Fmt.f0(lo.tokensPerSec)} | ${Fmt.f1(lo.extLoad)} | ${Fmt.f2(lo.cpuUtil)} |
+         || 4N | ${hi.cpus} | ${Fmt.f2(hi.bestSec)} | ${Fmt.f0(hi.triplesPerSec)} | ${Fmt.f0(hi.tokensPerSec)} | ${Fmt.f1(hi.extLoad)} | ${Fmt.f2(hi.cpuUtil)} |
          |
          |- corpus: `$sfDir/documents.parquet` deterministically amplified ×$amplify
          |  (${lo.tokens} text tokens; ${lo.triples} distinct-triple rows)
-         |- **raw scaling efficiency = (thr@4N / thr@N) / 4 = ${f"$efficiency%.3f"}**
+         |- **raw scaling efficiency = (thr@4N / thr@N) / 4 = ${Fmt.f3(efficiency)}**
          |  (target ≥ 0.8, BASELINE.md row 9)
          |- **machine ceiling at 4N threads** (`graft.InferCalib`:
          |  embarrassingly-parallel per-thread inference, zero coordination):
-         |  ${f"${lo.calibPerThread}%.0f"} tokens/s/thread at ${lo.cpus} threads →
-         |  ${f"${hi.calibPerThread}%.0f"} at ${hi.cpus} threads = ${f"$hwCeiling%.3f"}.
+         |  ${Fmt.f0(lo.calibPerThread)} tokens/s/thread at ${lo.cpus} threads →
+         |  ${Fmt.f0(hi.calibPerThread)} at ${hi.cpus} threads = ${Fmt.f3(hwCeiling)}.
          |  This is what ONE BOX gives a perfectly-parallel job when widening
          |  ${lo.cpus} → ${hi.cpus} threads (shared LLC, hypervisor steal, full-width
          |  clocks). A real N→4N-EXECUTOR scale-up adds machines instead of
          |  saturating one, so the box ceiling does not apply there.
          |- **ceiling-normalized (software) scaling efficiency =
-         |  ${f"$efficiency%.3f"} / ${f"$hwCeiling%.3f"} = ${f"$swEfficiency%.3f"}** — the
+         |  ${Fmt.f3(efficiency)} / ${Fmt.f3(hwCeiling)} = ${Fmt.f3(swEfficiency)}** — the
          |  job-structure component (shuffles, barriers, stragglers, fixed
          |  stages), i.e. what transfers to a multi-machine cluster.
          |- ext. host load = 1-min loadavg minus this JVM's cores (sandbox host

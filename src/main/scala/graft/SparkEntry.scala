@@ -792,7 +792,8 @@ object SparkEntry {
          |sg AS (
          |  SELECT word, CAST(SUM(CASE
          |    WHEN q0*v0 + q1*v1 + q2*v2 + q3*v3 + q4*v4 + q5*v5 + q6*v6 + q7*v7 > 0
-         |    THEN CAST(1 AS BIGINT) << (5 - bit) ELSE 0 END) AS BIGINT) AS sig
+         |    THEN CAST(1 AS BIGINT) << (${graft.sources.ReaderStage.LshBits - 1} - bit)
+         |    ELSE 0 END) AS BIGINT) AS sig
          |  FROM v, pl GROUP BY word),
          |u AS (
          |  SELECT v.word, sig, v0/nrm AS u0, v1/nrm AS u1, v2/nrm AS u2,
@@ -808,7 +809,8 @@ object SparkEntry {
          |          6) AS sim
          |  FROM p, u WHERE word != probe),
          |scored AS (
-         |  SELECT probe, word, hd, round(cos(pi() * hd / 6), 6) AS approx_sim, sim,
+         |  SELECT probe, word, hd,
+         |    round(cos(pi() * hd / ${graft.sources.ReaderStage.LshBits}), 6) AS approx_sim, sim,
          |    CAST(row_number() OVER (PARTITION BY probe ORDER BY sim DESC, word)
          |         AS INT) AS rank
          |  FROM cand WHERE hd <= 2)

@@ -3,7 +3,7 @@ package graft.kg
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.ModelConfig
+import graft.core.{Fmt, ModelConfig}
 
 /** Evaluation surface (SURVEY.md §2.6 M3-M8, M13; §2.7 E3): distributed
   * confusion counting + the reference's exact P/R/F1 math.
@@ -134,7 +134,7 @@ object Eval {
     val tex = new StringBuilder("\\begin{tabular}{llrrr}\n")
     tex ++= "level & kind & precision & recall & f1 \\\\\n\\hline\n"
     rows.foreach { case (lv, k, p, r, f) =>
-      tex ++= f"$lv & ${k.replace("_", "\\_")} & $p%.4f & $r%.4f & $f%.4f \\\\%n"
+      tex ++= s"$lv & ${k.replace("_", "\\_")} & ${Fmt.f4(p)} & ${Fmt.f4(r)} & ${Fmt.f4(f)} \\\\\n"
     }
     tex ++= "\\end{tabular}\n"
     java.nio.file.Files.write(dir.resolve("report.tex"),
@@ -205,9 +205,23 @@ object Eval {
   private val sliceCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.Dataset[PyramidDoc]]
 
-  def sliceDocs(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[PyramidDoc] =
-    sliceCache.getOrElseUpdate(sfDir,
-      DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache())
+  /** Key = sfDir + corpus file signature + Spark application id: an in-place
+    * corpus regeneration under the same sfDir must not serve the old 200
+    * docs (same invalidation rule as the IVF centroid cache), and a cached
+    * Dataset bound to a stopped SparkContext must not outlive its session.
+    * Superseded entries for the same sfDir are dropped (and unpersisted
+    * best-effort) on the way in, so regeneration doesn't pin dead copies.
+    */
+  def sliceDocs(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[PyramidDoc] = {
+    val key = s"$sfDir@${graft.core.FileSig.of(s"$sfDir/documents.parquet")}" +
+      s"@${spark.sparkContext.applicationId}"
+    sliceCache.getOrElseUpdate(key, {
+      sliceCache.keys.filter(_.startsWith(s"$sfDir@")).foreach { k =>
+        sliceCache.remove(k).foreach(ds => scala.util.Try(ds.unpersist()))
+      }
+      DocGen.docs(spark, sfDir).orderBy("doc_id").limit(EvalSliceDocs).cache()
+    })
+  }
 
   def evalSlice(spark: SparkSession, sfDir: String,
                 cfg: ModelConfig = ModelConfig()): (DataFrame, DataFrame, Mentions.Model) = {

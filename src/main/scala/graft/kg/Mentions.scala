@@ -270,7 +270,13 @@ object Mentions {
       .repartition(buckets, col("article_id"))
       .sortWithinPartitions("article_id", "doc_id")
       .drop("article_id")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+      // one row group per bucket file up to 512 MB: FileScan splits parquet
+      // only at row-group boundaries, so this is what ENFORCES the
+      // no-mid-article-split precondition of detectContextualBucketed
+      // (size buckets so each file stays under this at corpus scale)
+      .option("parquet.block.size", (512L * 1024 * 1024).toString)
+      .parquet(path)
 
   /** N12 with ZERO shuffle over the article-bucketed layout: each task scans
     * its bucket file and groups CONSECUTIVE docs of the same article (the
@@ -291,6 +297,20 @@ object Mentions {
       val m = bcModel.value
       val vi = new PyramidVariantInference(new PyramidInference(m.weights, m.vocab), bcVar.value)
       val buf = it.buffered
+      // runtime guard for the one-row-group precondition: every partition of
+      // the bucketed layout must BEGIN at an article boundary (doc numbering
+      // is contiguous from 0, so an article's first doc is docnum %
+      // CtxArticleDocs == 0). A file split mid-article — e.g. a bucket file
+      // that outgrew parquet.block.size — would silently drop context
+      // windows; fail loudly with the remedy instead.
+      if (buf.hasNext) {
+        val first = buf.head.doc_id
+        val docnum = first.stripPrefix("d").toLong
+        require(docnum % CtxArticleDocs == 0,
+          s"article-bucketed layout violated: partition starts mid-article at doc " +
+            s"$first — a bucket file was split across read tasks; rewrite with " +
+            s"more buckets or a larger parquet.block.size (writeArticleBucketed)")
+      }
       new Iterator[Seq[Mention]] {
         def hasNext: Boolean = buf.hasNext
         def next(): Seq[Mention] = {

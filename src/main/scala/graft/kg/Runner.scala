@@ -132,16 +132,28 @@ object KgRunner {
     // triple derived from docs in two buckets appears twice in the union.
     // The compacted table is the global-distinct view, committed with its own
     // atomic manifest (count + which buckets it covers), so a kill between
-    // bucket commits and compaction just re-compacts on resume.
-    val compacted = io.read(spark, "triples").select("subj", "pred", "obj").distinct()
-    io.write(compacted, "triples_compacted")
-    val nCompacted = io.read(spark, "triples_compacted").count()
+    // bucket commits and compaction just re-compacts on resume. A resume
+    // where the existing compact manifest already covers every committed
+    // bucket skips the stage entirely — a documented no-op resume must stay
+    // metadata-cheap, not re-pay a full shuffle-distinct + table rewrite.
     val allBuckets = committedBuckets(out).toSeq.sorted
-    val tmp = out.resolve("manifest").resolve(".tmp-compact.json")
-    Files.writeString(tmp,
-      s"""{"status":"done","n_triples":$nCompacted,"buckets":${allBuckets.mkString("[", ",", "]")}}""")
-    Files.move(tmp, out.resolve("manifest").resolve("compact.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val compactMarker = out.resolve("manifest").resolve("compact.json")
+    val compactUpToDate = Files.exists(compactMarker) && {
+      val txt = Files.readString(compactMarker)
+      """"buckets":\[([0-9,\s]*)\]""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(',').iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+        .contains(allBuckets)
+    }
+    if (!compactUpToDate) {
+      val compacted = io.read(spark, "triples").select("subj", "pred", "obj").distinct()
+      io.write(compacted, "triples_compacted")
+      val nCompacted = io.read(spark, "triples_compacted").count()
+      val tmp = out.resolve("manifest").resolve(".tmp-compact.json")
+      Files.writeString(tmp,
+        s"""{"status":"done","n_triples":$nCompacted,"buckets":${allBuckets.mkString("[", ",", "]")}}""")
+      Files.move(tmp, compactMarker,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
 
     RunReport(processed.toSeq, done.toSeq.sorted, total)
   }
@@ -151,17 +163,27 @@ object KgRunner {
     * documents.parquet — an in-place regeneration invalidates it) and leaves
     * the compacted table for `kg_triples_compacted` to read.
     */
+  /** Bump on any change to the KG pipeline or bucketing/compaction logic:
+    * `_RUNSIG` encodes this + KgStage.Version + the corpus signature, so a
+    * code change regenerates the staged run even when the corpus bytes are
+    * unchanged (KgStage regenerates its golds the same way — without this
+    * the gate would compare fresh golds against a stale staged run).
+    */
+  private val RunVersion = "kgrun-v2"
+
   def ensureRun(spark: SparkSession, sfDir: String, outDir: String,
                 buckets: Int = 4): Unit = synchronized {
     val marker = Paths.get(outDir, "_RUNSIG")
-    val sig = corpusSig(sfDir)
+    val sig = s"$RunVersion:${KgStage.Version}:${corpusSig(sfDir)}"
     if (Files.exists(marker) && Files.readString(marker) == sig) return
     // stale or absent: rebuild from scratch (a resume against a CHANGED
     // corpus would silently mix old and new buckets)
     if (Files.exists(Paths.get(outDir))) {
-      val it = Files.walk(Paths.get(outDir)).sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator()
-      while (it.hasNext) Files.deleteIfExists(it.next())
+      val s = Files.walk(Paths.get(outDir))
+      try {
+        val it = s.sorted(java.util.Comparator.reverseOrder[Path]()).iterator()
+        while (it.hasNext) Files.deleteIfExists(it.next())
+      } finally s.close()
     }
     run(spark, sfDir, outDir, buckets)
     Files.writeString(marker, sig)
@@ -169,36 +191,26 @@ object KgRunner {
 
   /** file-level corpus signature (names + sizes + mtimes, no scan) */
   private def corpusSig(sfDir: String): String = {
-    val dir = Paths.get(s"$sfDir/documents.parquet")
-    val parts =
-      if (Files.isDirectory(dir)) {
-        val it = Files.list(dir).iterator()
-        val b = Seq.newBuilder[String]
-        while (it.hasNext) {
-          val p = it.next()
-          b += s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
-        }
-        b.result().sorted
-      } else Seq(s"${dir.getFileName}:${Files.size(dir)}:${Files.getLastModifiedTime(dir).toMillis}")
-    val d = java.security.MessageDigest.getInstance("MD5")
-    parts.foreach(s => d.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    GoldRef.bytesToHex(d.digest())
+    graft.core.FileSig.of(s"$sfDir/documents.parquet")
   }
 
   /** buckets with a committed manifest record */
   def committedBuckets(out: Path): Set[Int] = {
     val dir = out.resolve("manifest")
     if (!Files.exists(dir)) return Set.empty
-    val it = Files.list(dir).iterator()
-    val re = "bucket-(\\d+)\\.json".r
-    var s = Set.empty[Int]
-    while (it.hasNext) {
-      it.next().getFileName.toString match {
-        case re(b) => s += b.toInt
-        case _     => ()
+    val stream = Files.list(dir)
+    try {
+      val it = stream.iterator()
+      val re = "bucket-(\\d+)\\.json".r
+      var s = Set.empty[Int]
+      while (it.hasNext) {
+        it.next().getFileName.toString match {
+          case re(b) => s += b.toInt
+          case _     => ()
+        }
       }
-    }
-    s
+      s
+    } finally stream.close()
   }
 
   /** atomic manifest commit: write tmp file, rename into place */

@@ -105,31 +105,20 @@ object Similarity {
   private val centroidCache = scala.collection.concurrent.TrieMap.empty[String, Seq[Array[Float]]]
 
   /** File-level corpus signature (names + sizes + mtimes of the embeddings
-    * parquet — no data scan): an in-place regeneration of the corpus under
-    * the same sfDir changes it, invalidating both the per-JVM centroid cache
-    * and the on-disk IVF index marker.
+    * parquet — no data scan, [[graft.core.FileSig]]): an in-place
+    * regeneration of the corpus under the same sfDir changes it,
+    * invalidating both the per-JVM centroid cache and the on-disk IVF index
+    * marker.
     */
-  private[ops] def corpusSig(sfDir: String): String = {
-    val dir = java.nio.file.Paths.get(s"$sfDir/embeddings.parquet")
-    val parts =
-      if (java.nio.file.Files.isDirectory(dir)) {
-        val it = java.nio.file.Files.list(dir).iterator()
-        val b = Seq.newBuilder[String]
-        while (it.hasNext) {
-          val p = it.next()
-          b += s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
-            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-        }
-        b.result().sorted
-      } else if (java.nio.file.Files.exists(dir))
-        // single-file parquet (small SFs): same name:size:mtime triple
-        Seq(s"${dir.getFileName}:${java.nio.file.Files.size(dir)}:" +
-          s"${java.nio.file.Files.getLastModifiedTime(dir).toMillis}")
-      else Seq(dir.toString)
-    val d = java.security.MessageDigest.getInstance("MD5")
-    parts.foreach(s => d.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    graft.kg.GoldRef.bytesToHex(d.digest())
-  }
+  private[ops] def corpusSig(sfDir: String): String =
+    graft.core.FileSig.of(s"$sfDir/embeddings.parquet")
+
+  /** Bump on any change to the index BUILDER (k-means seeding, cluster
+    * count, multi-assignment, layout): the on-disk marker encodes
+    * version + corpus, so a code change invalidates an existing index even
+    * when the corpus bytes are unchanged.
+    */
+  private val IvfIndexVersion = "ivfidx-v1"
 
   def kmeansCentroids(spark: SparkSession, sfDir: String): Seq[Array[Float]] =
     centroidCache.getOrElseUpdate(s"$sfDir|${corpusSig(sfDir)}", {
@@ -220,7 +209,7 @@ object Similarity {
     */
   def ensureIvfIndex(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
     val marker = java.nio.file.Paths.get(indexDir, "_CORPUS_SIG")
-    val sig = corpusSig(sfDir)
+    val sig = s"$IvfIndexVersion:${corpusSig(sfDir)}"
     if (java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == sig) return
     buildIvfIndex(spark, sfDir, indexDir)

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.core.{Rng, Tok}
+import graft.core.{Fmt, Rng, Tok}
 import graft.kg.GoldRef
 
 /** Deterministic staging of the reference's on-disk input formats, derived
@@ -271,7 +271,7 @@ object ReaderStage {
 
   def wvValue(word: String, dim: Int): Float = {
     val u = java.lang.Long.remainderUnsigned(Rng.streamKey(s"wv#$word#$dim"), 2000001L)
-    f"${u / 1000000.0 - 1.0}%.6f".toFloat
+    Fmt.f6(u / 1000000.0 - 1.0).toFloat
   }
 
   /** GloVe-style csv (S9, `genia/utils/load_wv.py:5-24`): one `word,v0..v7`
@@ -279,7 +279,7 @@ object ReaderStage {
     */
   def gloveCsv(docs: Seq[(Long, String)]): String =
     wvWords(docs).map { w =>
-      (w +: (0 until WvDims).map(j => f"${wvValue(w, j)}%.6f")).mkString(",")
+      (w +: (0 until WvDims).map(j => Fmt.f6(wvValue(w, j)))).mkString(",")
     }.mkString("", "\n", "\n")
 
   /** word2vec C binary (the `.bin` branch of S9, ref `genia/utils/load_wv.py`
@@ -318,12 +318,12 @@ object ReaderStage {
 
   def lshPlaneValue(bit: Int, dim: Int): Float = {
     val u = java.lang.Long.remainderUnsigned(Rng.streamKey(s"lshp#$bit#$dim"), 2000001L)
-    f"${u / 1000000.0 - 1.0}%.6f".toFloat
+    Fmt.f6(u / 1000000.0 - 1.0).toFloat
   }
 
   def lshPlanesCsv: String =
     (0 until LshBits).map { b =>
-      (b.toString +: (0 until WvDims).map(j => f"${lshPlaneValue(b, j)}%.6f")).mkString(",")
+      (b.toString +: (0 until WvDims).map(j => Fmt.f6(lshPlaneValue(b, j)))).mkString(",")
     }.mkString("", "\n", "\n")
 
   // ---------------------------------------------------------------- layout
@@ -340,11 +340,14 @@ object ReaderStage {
   /** delete files in `dir` whose names are not in `keep` */
   private def dropStaleShards(dir: Path, keep: Set[String]): Unit = {
     if (!Files.isDirectory(dir)) return
-    val it = Files.list(dir).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      if (!keep.contains(p.getFileName.toString)) Files.deleteIfExists(p)
-    }
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (!keep.contains(p.getFileName.toString)) Files.deleteIfExists(p)
+      }
+    } finally s.close()
   }
 
   private def writeIfChanged(p: Path, content: String): Unit =

@@ -323,13 +323,25 @@ object Readers {
     * `word_similarity` calls; the distributed analogue is this one-pass
     * derived table.
     */
-  def wordVectorNorm(spark: SparkSession, csvPath: String): DataFrame = {
+  /** Shared csv → (frame, dims, vector cols, L2 norm col) derivation behind
+    * the three wvlib vector ops — one place for the cast/norm math so a fix
+    * (e.g. a zero-norm guard) can't drift between copies.
+    */
+  private final case class WvCsv(df: DataFrame, dims: Int,
+                                 vcols: Seq[org.apache.spark.sql.Column],
+                                 nrm: org.apache.spark.sql.Column)
+
+  private def wvCsv(spark: SparkSession, csvPath: String): WvCsv = {
     val df = spark.read.csv(csvPath)
     val dims = df.columns.length - 1
     val vcols = (1 to dims).map(i => col(s"_c$i").cast("double"))
-    val nrm = sqrt(vcols.map(c => c * c).reduce(_ + _))
-    df.select((col("_c0").as("word") +: round(nrm, 6).as("norm") +:
-      vcols.zipWithIndex.map { case (c, i) => round(c / nrm, 6).as(s"u$i") }): _*)
+    WvCsv(df, dims, vcols, sqrt(vcols.map(c => c * c).reduce(_ + _)))
+  }
+
+  def wordVectorNorm(spark: SparkSession, csvPath: String): DataFrame = {
+    val wv = wvCsv(spark, csvPath)
+    wv.df.select((col("_c0").as("word") +: round(wv.nrm, 6).as("norm") +:
+      wv.vcols.zipWithIndex.map { case (c, i) => round(c / wv.nrm, 6).as(s"u$i") }): _*)
   }
 
   /** Distributed `nearest` (ref `wvlib.py:304`): top-`n` most-similar words
@@ -345,12 +357,10 @@ object Readers {
     */
   def wordVectorNearest(spark: SparkSession, csvPath: String,
                         nProbes: Int = 5, n: Int = 10): DataFrame = {
-    val df = spark.read.csv(csvPath)
-    val dims = df.columns.length - 1
-    val vcols = (1 to dims).map(i => col(s"_c$i").cast("double"))
-    val nrm = sqrt(vcols.map(c => c * c).reduce(_ + _))
-    val unit = df.select((col("_c0").as("word") +:
-      vcols.zipWithIndex.map { case (c, i) => (c / nrm).as(s"u$i") }): _*)
+    val wv = wvCsv(spark, csvPath)
+    val dims = wv.dims
+    val unit = wv.df.select((col("_c0").as("word") +:
+      wv.vcols.zipWithIndex.map { case (c, i) => (c / wv.nrm).as(s"u$i") }): _*)
     val probes = unit.orderBy("word").limit(nProbes)
       .select((col("word").as("probe") +:
         (0 until dims).map(i => col(s"u$i").as(s"p$i"))): _*)
@@ -385,17 +395,15 @@ object Readers {
         .split('\n').filter(_.nonEmpty)
         .map(_.split(',').drop(1).map(_.toDouble))
     val bits = planes.length
-    val df = spark.read.csv(csvPath)
-    val dims = df.columns.length - 1
-    val vcols = (1 to dims).map(i => col(s"_c$i").cast("double"))
+    val wv = wvCsv(spark, csvPath)
+    val dims = wv.dims
     // h <<= 1; if dot > 0: h |= 1  — plane b contributes bit (bits-1-b)
     val sig = planes.zipWithIndex.map { case (q, b) =>
-      val dot = (0 until dims).map(i => lit(q(i)) * vcols(i)).reduce(_ + _)
+      val dot = (0 until dims).map(i => lit(q(i)) * wv.vcols(i)).reduce(_ + _)
       when(dot > 0d, lit(1L << (bits - 1 - b))).otherwise(lit(0L))
     }.reduce(_ + _)
-    val nrm = sqrt(vcols.map(c => c * c).reduce(_ + _))
-    val unit = df.select((col("_c0").as("word") +: sig.as("sig") +:
-      vcols.zipWithIndex.map { case (c, i) => (c / nrm).as(s"u$i") }): _*)
+    val unit = wv.df.select((col("_c0").as("word") +: sig.as("sig") +:
+      wv.vcols.zipWithIndex.map { case (c, i) => (c / wv.nrm).as(s"u$i") }): _*)
     val probes = unit.orderBy("word").limit(nProbes)
       .select((col("word").as("probe") +: col("sig").as("psig") +:
         (0 until dims).map(i => col(s"u$i").as(s"p$i"))): _*)
