@@ -176,4 +176,20 @@ class EvalSpec extends AnyFunSuite {
       assert(m(("class", k)) == 1.0, s"class $k")
     }
   }
+
+  test("slice-docs cache invalidates on in-place corpus regeneration") {
+    val tmpSf = java.nio.file.Files.createTempDirectory("graft_slice_sf")
+    val corpus = tmpSf.resolve("documents.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/documents.parquet"), corpus)
+    val ds1 = Eval.sliceDocs(spark, tmpSf.toString)
+    assert(Eval.sliceDocs(spark, tmpSf.toString) eq ds1,
+      "unchanged corpus must serve the cached slice")
+    // simulate an in-place regeneration: same path, new mtime
+    java.nio.file.Files.setLastModifiedTime(corpus,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(corpus).toMillis + 5000))
+    val ds2 = Eval.sliceDocs(spark, tmpSf.toString)
+    assert(!(ds2 eq ds1), "regenerated corpus must not serve the stale cached slice")
+    assert(ds2.count() == ds1.count(), "same data content regardless of cache identity")
+  }
 }

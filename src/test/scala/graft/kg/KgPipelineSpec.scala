@@ -108,6 +108,37 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(shuffled.nonEmpty)
   }
 
+  test("bucketed contextual detection fails loudly on a mid-article file split") {
+    import spark.implicits._
+    val bcM = spark.sparkContext.broadcast(model)
+    val bcV = spark.sparkContext.broadcast(
+      graft.core.VariantWeights.build(Mentions.ModelSeed, ModelConfig(), Mentions.Kinds.length))
+    // adversarial layout: one article's docs deliberately split across two
+    // files (what a bucket file outgrowing its row group would look like) —
+    // the reader's precondition guard must throw, not silently emit
+    // mentions with truncated context windows
+    val art0 = goldDocs.filter(d => Mentions.articleIdOf(d.doc_id) == 0L)
+    assert(art0.length > 1, "need a multi-doc article for the split")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctx_split").toString
+    spark.createDataset(art0).toDF()
+      .repartitionByRange(2, org.apache.spark.sql.functions.col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    // force one file per read partition — Spark otherwise packs small files
+    // into a single partition (size-ordered), which can hide the split
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        Mentions.detectContextualBucketed(spark, dir, bcM, bcV).collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("mid-article")),
+        s"expected the mid-article guard, got: ${chain(e).mkString(" | ")}")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
   test("alias dictionary matches the sequential re-derivation") {
     val got = AliasDict.build(DocGen.docs(spark, sfDir))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),

@@ -63,9 +63,15 @@ class KgRunnerSpec extends AnyFunSuite {
     // kill-resume equality holds on the COMPACTED output too (the killed run
     // never reached compaction; the resume must leave a complete compact)
     assert(tripleSet(spark.read.parquet(s"$out/triples_compacted")) == want)
-    // second resume is a no-op
+    // second resume is a no-op — INCLUDING the global compaction stage:
+    // compact.json already covers all 4 buckets, so the resume must not
+    // re-pay the shuffle-distinct + rewrite of triples_compacted
+    val compactPath = java.nio.file.Paths.get(out, "manifest", "compact.json")
+    val c1 = Files.getLastModifiedTime(compactPath)
     val again = KgRunner.run(spark, sfDir, out, buckets = 4)
     assert(again.processed.isEmpty && again.skipped.size == 4)
+    assert(Files.getLastModifiedTime(compactPath) == c1,
+      "no-op resume must skip re-compaction")
   }
 
   test("ensureRun stages once per corpus signature and serves the compacted table") {
