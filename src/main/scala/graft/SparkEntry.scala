@@ -18,10 +18,20 @@ import graft.ops._
   */
 object SparkEntry {
 
-  /** per-sfDir model cache so each kg_* query doesn't rebuild the lexicon job */
+  /** per-sfDir model cache so each kg_* query doesn't rebuild the lexicon
+    * job; keyed on the corpus file signature too (same invalidation rule as
+    * the centroid / slice-docs caches), so an in-place corpus regeneration
+    * within one JVM can't serve a stale lexicon. Superseded entries for the
+    * same sfDir are dropped on the way in.
+    */
   private val modelCache = scala.collection.concurrent.TrieMap.empty[String, Mentions.Model]
-  private[graft] def model(spark: SparkSession, sfDir: String): Mentions.Model =
-    modelCache.getOrElseUpdate(sfDir, Mentions.buildModel(DocGen.docs(spark, sfDir), ModelConfig()))
+  private[graft] def model(spark: SparkSession, sfDir: String): Mentions.Model = {
+    val key = s"$sfDir@${graft.core.FileSig.of(s"$sfDir/documents.parquet")}"
+    modelCache.getOrElseUpdate(key, {
+      modelCache.keys.filter(_.startsWith(s"$sfDir@")).foreach(modelCache.remove)
+      Mentions.buildModel(DocGen.docs(spark, sfDir), ModelConfig())
+    })
+  }
 
   /** Flagship: full KG-construction pipeline (docs → pyramid mentions → link
     * → canonicalize → triples) on sf0.001; driver smoke-checks rows > 0.
