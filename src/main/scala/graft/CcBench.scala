@@ -107,7 +107,7 @@ object CcBench {
     }
 
     val md = new StringBuilder
-    md ++= "## Distributed CC star loop — measured (round 4)\n\n"
+    md ++= "## Distributed CC star loop — measured (regenerate: `runMain graft.CcBench`)\n\n"
     md ++= "`Canonical.connectedComponents` large/small-star loop, forced past the\n"
     md ++= s"driver fast path (threshold 0), `local[$cpus]`. The synthetic graphs are\n"
     md ++= s"$blockLen-node chains with a star spoke from every 4th node to its block\n"
@@ -124,7 +124,7 @@ object CcBench {
     md ++= "  The production `DriverCcThreshold = 500k` sits below the measured crossover\n"
     md ++= "  — conservative in the right direction (never slower AND never OOM).\n"
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/ROUND4_CC.md"), md.toString,
+    Files.writeString(Paths.get("BENCH/CC_BENCH.md"), md.toString,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     spark.stop()
   }

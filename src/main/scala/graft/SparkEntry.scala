@@ -33,6 +33,14 @@ object SparkEntry {
     })
   }
 
+  /** full-corpus model BROADCAST through the registry — repeated query
+    * invocations in one session reuse a single broadcast instead of leaking
+    * one per call (see [[graft.core.BcRegistry]])
+    */
+  private def modelBc(s: SparkSession, dir: String) =
+    graft.core.BcRegistry.of(s, s"full-model:$dir",
+      graft.core.FileSig.of(s"$dir/documents.parquet"))(model(s, dir))
+
   /** Flagship: full KG-construction pipeline (docs → pyramid mentions → link
     * → canonicalize → triples) on sf0.001; driver smoke-checks rows > 0.
     */
@@ -117,28 +125,22 @@ object SparkEntry {
     // large SFs the oracle still reads the sf0.01 staging)
     "kg_mentions" -> ((s, dir) => {
       val _ = KgStage.stage(s, dir)
-      val bc = s.sparkContext.broadcast(model(s, dir))
-      Mentions.detect(DocGen.docs(s, dir), bc).toDF()
+      Mentions.detect(DocGen.docs(s, dir), modelBc(s, dir)).toDF()
     }),
     "kg_mentions_bidir" -> ((s, dir) => {
       val _ = KgStage.stage(s, dir)
-      val bc = s.sparkContext.broadcast(model(s, dir))
-      val bv = s.sparkContext.broadcast(
-        graft.core.VariantWeights.build(Mentions.ModelSeed, ModelConfig(), Mentions.Kinds.length))
-      Mentions.detectVariant(DocGen.docs(s, dir), bc, bv, "bidirectional").toDF()
+      Mentions.detectVariant(DocGen.docs(s, dir), modelBc(s, dir),
+        Eval.vwBc(s, ModelConfig()), "bidirectional").toDF()
     }),
     "kg_mentions_ml" -> ((s, dir) => {
       val _ = KgStage.stage(s, dir)
-      val bc = s.sparkContext.broadcast(model(s, dir))
-      val bv = s.sparkContext.broadcast(
-        graft.core.VariantWeights.build(Mentions.ModelSeed, ModelConfig(), Mentions.Kinds.length))
-      Mentions.detectVariant(DocGen.docs(s, dir), bc, bv, "multilabel").toDF()
+      Mentions.detectVariant(DocGen.docs(s, dir), modelBc(s, dir),
+        Eval.vwBc(s, ModelConfig()), "multilabel").toDF()
     }),
     "kg_dict" -> ((s, dir) => AliasDict.build(DocGen.docs(s, dir))),
     "kg_linked" -> ((s, dir) => {
       val _ = KgStage.stage(s, dir)
-      val bc = s.sparkContext.broadcast(model(s, dir))
-      val mentions = Mentions.detect(DocGen.docs(s, dir), bc).toDF()
+      val mentions = Mentions.detect(DocGen.docs(s, dir), modelBc(s, dir)).toDF()
       Link.link(mentions, AliasDict.build(DocGen.docs(s, dir)))
     }),
     "kg_canonical_map" -> ((s, dir) =>
@@ -431,24 +433,26 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextOps.quality(s, dir)),
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
-    // driver projections: scalar feature columns (the driver's pandas hasher
-    // can't hash array cells) and hex instead of raw binary; the API
-    // functions keep the array/binary columns
+    // REAL decode paths throughout (r5): features + frame sampling run
+    // ImageIO sequence decoding over staged multi-page TIFF payloads; resize
+    // decodes staged PNGs and resamples actual pixels. Every oracle reads
+    // stage-time PRE-ENCODE expectations, so a hash pass witnesses real
+    // codec work, not stub math. Driver projections flatten the feature
+    // array to scalar columns (the driver's pandas hasher can't hash array
+    // cells); the API functions keep the array columns.
     "mm_media_features" -> ((s, dir) => {
-      val _ = KgStage.stage(s, dir)
-      Multimodal.mediaFeatures(s, dir).select(
+      val stage = KgStage.stage(s, dir)
+      Multimodal.tiffFeatures(s, dir, s"$stage/media_tiff.parquet").select(
         Seq(col("doc_id"), col("media_ref"), col("width"), col("height"), col("n_frames")) ++
           (0 until 8).map(i => col("feature")(i).cast("double").as(s"f$i")): _*)
     }),
     "mm_resize" -> ((s, dir) => {
-      val _ = KgStage.stage(s, dir)
-      Multimodal.resized(s, dir)
+      val stage = KgStage.stage(s, dir)
+      Multimodal.resizePng(s, dir, s"$stage/media_png.parquet")
     }),
     "mm_frame_sample" -> ((s, dir) => {
-      val _ = KgStage.stage(s, dir)
-      Multimodal.frameSamples(s, dir)
-        .select(col("doc_id"), col("media_ref"), col("n_frames"), col("frame_idx"),
-          col("frame_ref"), lower(hex(col("frame_payload"))).as("payload_hex"))
+      val stage = KgStage.stage(s, dir)
+      Multimodal.sampleTiffFrames(s, dir, s"$stage/media_tiff.parquet")
     }),
     // REAL decode: distributed ImageIO.read over staged PNG payloads; the
     // oracle reads the stage-time PRE-ENCODE (width, height, pixel_md5), so
@@ -931,30 +935,29 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN rel IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flat
          |FROM m LEFT JOIN rels USING (doc_id, mention_id)
          |GROUP BY 1""".stripMargin,
-    // multimodal: the decode stub is pure md5-byte math — fully re-derivable
+    // multimodal: oracles read the stage-time PRE-ENCODE expectation tables
+    // (feature/frame digests recorded from raw pixels BEFORE encoding), so
+    // the distributed side must reproduce them by actually decoding the
+    // PNG/TIFF payloads — any codec error breaks the hash. Join multiplicity
+    // mirrors the Spark side: one row per media-span OCCURRENCE.
     "mm_media_features" ->
-      s"""WITH $mmFeatsCte
-         |SELECT doc_id, media_ref, width, height, n_frames,
-         |  ${(0 until 8).map(i => s"f$i").mkString(", ")}
-         |FROM feats""".stripMargin,
+      s"""SELECT ds.doc_id, t.media_ref, t.width, t.height, t.n_frames,
+         |  ${(0 until 8).map(i => s"t.feature[${i + 1}] AS f$i").mkString(", ")}
+         |FROM read_parquet('$KgPath/docs_spans.parquet/*.parquet') ds
+         |JOIN read_parquet('$KgPath/media_tiff.parquet/*.parquet') t USING (media_ref)
+         |WHERE ds.kind = 'media'""".stripMargin,
     "mm_resize" ->
-      s"""WITH $mmFeatsCte,
-         |s AS (SELECT doc_id, media_ref, width, height,
-         |        least(1.0, 128.0 / greatest(width, height)) AS sr FROM feats)
-         |SELECT doc_id, media_ref, width, height,
-         |  CAST(greatest(1, round(width * sr)) AS INT) AS out_width,
-         |  CAST(greatest(1, round(height * sr)) AS INT) AS out_height,
-         |  round(sr, 6) AS scale
-         |FROM s""".stripMargin,
+      s"""SELECT ds.doc_id, r.media_ref, r.width, r.height,
+         |  r.out_width, r.out_height, r.scale, r.resized_md5
+         |FROM read_parquet('$KgPath/docs_spans.parquet/*.parquet') ds
+         |JOIN read_parquet('$KgPath/media_resize.parquet/*.parquet') r USING (media_ref)
+         |WHERE ds.kind = 'media'""".stripMargin,
     "mm_frame_sample" ->
-      s"""WITH $mmFeatsCte,
-         |fr AS (SELECT doc_id, media_ref, n_frames,
-         |         CAST(unnest(generate_series(0, n_frames - 1, 4)) AS INT) AS frame_idx
-         |       FROM feats)
-         |SELECT doc_id, media_ref, n_frames, frame_idx,
-         |  media_ref || '#f' || frame_idx AS frame_ref,
-         |  md5(media_ref || '#f' || frame_idx) AS payload_hex
-         |FROM fr""".stripMargin,
+      s"""SELECT ds.doc_id, f.media_ref, f.n_frames, f.frame_idx,
+         |  f.media_ref || '#f' || f.frame_idx AS frame_ref, f.frame_md5
+         |FROM read_parquet('$KgPath/docs_spans.parquet/*.parquet') ds
+         |JOIN read_parquet('$KgPath/media_frames.parquet/*.parquet') f USING (media_ref)
+         |WHERE ds.kind = 'media' AND f.frame_idx % 4 = 0""".stripMargin,
     "mm_decode_png" ->
       s"""SELECT media_ref, width, height, pixel_md5
          |FROM read_parquet('$KgPath/media_png.parquet/*.parquet')""".stripMargin,
@@ -1067,22 +1070,6 @@ object SparkEntry {
        |  UNION
        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u)
        |SELECT u AS entity_id, least(u, min(v)) AS canonical_id FROM reach GROUP BY 1""".stripMargin
-
-  /** DuckDB mirror of Multimodal.decodeStub over payload = unhex(md5(ref)):
-    * byte i of the payload is md5 hex chars [2i+1, 2i+2].
-    */
-  private lazy val mmFeatsCte: String = {
-    def byteAt(i: Int) = s"CAST(('0x' || substr(h, ${2 * i + 1}, 2)) AS INT)"
-    s"""feats AS (
-       |  SELECT doc_id, media_ref,
-       |    CAST(64 + ${byteAt(0)} * 4 AS INT) AS width,
-       |    CAST(64 + ${byteAt(1)} * 4 AS INT) AS height,
-       |    CAST(1 + ${byteAt(2)} % 32 AS INT) AS n_frames,
-       |    ${(0 until 8).map(i => s"CAST((${byteAt(3 + i)} - 128) / 128.0 AS DOUBLE) AS f$i").mkString(",\n    ")}
-       |  FROM (SELECT doc_id, media_ref, md5(media_ref) AS h
-       |        FROM read_parquet('$KgPath/docs_spans.parquet/*.parquet')
-       |        WHERE kind = 'media'))""".stripMargin
-  }
 
   /** Full random-hyperplane LSH ANN in DuckDB: the ±1 hyperplanes are
     * md5-derived constants shared with Similarity.hyperplane; bit decisions

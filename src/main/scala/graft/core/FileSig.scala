@@ -3,12 +3,21 @@ package graft.core
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 
-/** File-level signature (names + sizes + mtimes — no data scan) of a file or
-  * a directory's direct children, MD5-hex. The one shared implementation
-  * behind every staleness marker (IVF index `_CORPUS_SIG`, KgRunner
-  * `_RUNSIG`, centroid / eval-slice caches), so the lenient missing-path
-  * branch and directory-stream hygiene live in a single place instead of
-  * drifting across copies.
+/** File-level signature (names + sizes + nanosecond mtimes + child count — no
+  * data scan) of a file or a directory's direct children, MD5-hex. The one
+  * shared implementation behind every staleness marker (IVF index
+  * `_CORPUS_SIG`, KgRunner `_RUNSIG`, centroid / eval-slice caches), so the
+  * lenient missing-path branch and directory-stream hygiene live in a single
+  * place instead of drifting across copies.
+  *
+  * Granularity note: mtimes are hashed at NANOSECOND resolution
+  * (`FileTime.to(NANOSECONDS)`), so an in-place regeneration that reproduces
+  * identical names and sizes still flips the signature unless the filesystem
+  * itself reports coarse timestamps AND the rewrite lands inside one tick —
+  * the residual blind spot is the filesystem's own mtime resolution, not the
+  * milliseconds this used to truncate to. The directory child COUNT is hashed
+  * explicitly too, so adding/removing a zero-length same-named part file
+  * can't alias.
   */
 object FileSig {
 
@@ -21,7 +30,8 @@ object FileSig {
           val it = s.iterator()
           val b = Seq.newBuilder[String]
           while (it.hasNext) b += entry(it.next())
-          b.result().sorted
+          val children = b.result().sorted
+          (s"n=${children.length}" +: children)
         } finally s.close()
       } else if (Files.exists(dir)) Seq(entry(dir))
       // absent input signs as the path string — a clear "missing" signature
@@ -33,8 +43,11 @@ object FileSig {
     hex(d.digest())
   }
 
-  private def entry(p: Path): String =
-    s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+  private def entry(p: Path): String = {
+    val mtimeNanos =
+      Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS)
+    s"${p.getFileName}:${Files.size(p)}:$mtimeNanos"
+  }
 
   private val HexChars = "0123456789abcdef".toCharArray
 

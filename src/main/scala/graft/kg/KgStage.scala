@@ -32,7 +32,7 @@ object KgStage {
   /** bump when the staged derivation changes — part of the signature so old
     * stage dirs regenerate
     */
-  val Version = "kg-v8" // v8: + ctx_docs_bucketed.parquet (article-clustered N12 layout); v7: + media_png.parquet (real ImageIO-encoded payloads + expected decode results)
+  val Version = "kg-v9" // v9: + media_tiff/media_frames/media_resize (real multi-page TIFF payloads + pre-encode feature/frame/resize expectations); v8: + ctx_docs_bucketed.parquet (article-clustered N12 layout); v7: + media_png.parquet (real ImageIO-encoded payloads + expected decode results)
 
   /** Full-corpus sequential golds are staged only when the corpus is small
     * enough that the driver-side re-derivation stays cheap (the driver's
@@ -79,7 +79,20 @@ object KgStage {
     //     ImageIO.write; (width, height, pixel_md5) are recorded from the RAW
     //     pixels BEFORE encoding, so the distributed ImageIO.read decode
     //     (mm_decode_png) is value-checked against a pre-encode ground truth
-    val pngRows = spanRows.filter(_._2 == "media").map(_._4).distinct.sorted.map { ref =>
+    val mediaRefs = spanRows.filter(_._2 == "media").map(_._4).distinct.sorted
+
+    // encoding thousands of tiny images is embarrassingly parallel driver
+    // work — chunked futures keep the deterministic ref order while using
+    // the host's cores (one-time cost, outside every timed region)
+    def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val chunks = xs.grouped(math.max(1, xs.size / 64 + 1)).toSeq
+      Await.result(Future.sequence(chunks.map(c => Future(c.map(f)))),
+        scala.concurrent.duration.Duration.Inf).flatten
+    }
+
+    val pngRows = parMap(mediaRefs) { ref =>
       val img = graft.ops.Multimodal.ImageCodec.genImage(ref)
       (ref, graft.ops.Multimodal.ImageCodec.pngBytes(img),
         img.getWidth, img.getHeight, graft.ops.Multimodal.ImageCodec.pixelMd5(img))
@@ -88,6 +101,46 @@ object KgStage {
       .toDF("media_ref", "png", "width", "height", "pixel_md5")
       .coalesce(1).write.mode("overwrite")
       .parquet(dir.resolve("media_png.parquet").toString)
+
+    // --- media_resize: PRE-ENCODE resize expectations — fitBox + the shared
+    //     nearest-neighbor resample on the raw pixels, digest recorded BEFORE
+    //     any encoding; the distributed mm_resize must reproduce these from
+    //     the PNG payload alone (decode + real pixel resample)
+    val resizeRows = parMap(mediaRefs) { ref =>
+      val codec = graft.ops.Multimodal.ImageCodec
+      val img = codec.genImage(ref)
+      val (ow, oh, scale) =
+        codec.fitBox(img.getWidth, img.getHeight, graft.ops.Multimodal.ResizeMaxSide)
+      (ref, img.getWidth, img.getHeight, ow, oh, scale,
+        codec.pixelMd5(codec.resampleNearest(img, ow, oh)))
+    }
+    spark.createDataset(resizeRows)
+      .toDF("media_ref", "width", "height", "out_width", "out_height", "scale",
+        "resized_md5")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("media_resize.parquet").toString)
+
+    // --- media_tiff + media_frames: REAL multi-frame payloads (multi-page
+    //     TIFF, JDK ImageIO sequence writer, lossless) with per-asset
+    //     pre-encode expectations — frame-0 feature for mm_media_features,
+    //     per-frame pixel digests for mm_frame_sample
+    val tiffGen = parMap(mediaRefs) { ref =>
+      val frames = graft.ops.Multimodal.FrameCodec.genFrames(ref)
+      val f0 = frames.head
+      val tiff = graft.ops.Multimodal.FrameCodec.tiffBytes(frames)
+      val frameMd5 = frames.map(graft.ops.Multimodal.ImageCodec.pixelMd5)
+      (ref, tiff, f0.getWidth, f0.getHeight, frames.length,
+        graft.ops.Multimodal.featureOf(f0).map(_.toDouble), frameMd5)
+    }
+    spark.createDataset(tiffGen.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)))
+      .toDF("media_ref", "tiff", "width", "height", "n_frames", "feature")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("media_tiff.parquet").toString)
+    spark.createDataset(tiffGen.flatMap { t =>
+      t._7.zipWithIndex.map { case (md5, i) => (t._1, t._5, i, md5) }
+    }).toDF("media_ref", "n_frames", "frame_idx", "frame_md5")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("media_frames.parquet").toString)
 
     // --- gold_mentions: GoldRef over the eval slice (first EvalSliceDocs by
     //     doc_id), model built on the slice exactly like Eval.evalSlice

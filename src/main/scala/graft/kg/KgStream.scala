@@ -93,6 +93,10 @@ object KgStream {
     q.stop()
     dict.unpersist()
     sliceDocs.unpersist()
+    // the memory sink holds materialized rows — the model broadcast is done;
+    // destroy (not just unpersist) releases driver AND executor blocks, so
+    // repeated stream runs in one session don't accumulate them
+    bc.destroy()
     spark.table(name)
   }
 

@@ -296,21 +296,31 @@ object Mentions {
     spark.read.parquet(path).as[PyramidDoc].mapPartitions { it =>
       val m = bcModel.value
       val vi = new PyramidVariantInference(new PyramidInference(m.weights, m.vocab), bcVar.value)
-      val buf = it.buffered
-      // runtime guard for the one-row-group precondition: every partition of
-      // the bucketed layout must BEGIN at an article boundary (doc numbering
-      // is contiguous from 0, so an article's first doc is docnum %
-      // CtxArticleDocs == 0). A file split mid-article — e.g. a bucket file
-      // that outgrew parquet.block.size — would silently drop context
-      // windows; fail loudly with the remedy instead.
-      if (buf.hasNext) {
-        val first = buf.head.doc_id
-        val docnum = first.stripPrefix("d").toLong
-        require(docnum % CtxArticleDocs == 0,
-          s"article-bucketed layout violated: partition starts mid-article at doc " +
-            s"$first — a bucket file was split across read tasks; rewrite with " +
-            s"more buckets or a larger parquet.block.size (writeArticleBucketed)")
+      // runtime guard for the one-row-group precondition, enforced at EVERY
+      // row transition, not just the partition head: Spark packs multiple
+      // file chunks into one read partition (size-sorted bins), so a bucket
+      // file split mid-article can land its second chunk AFTER another file's
+      // rows — the partition then starts at a valid article boundary while a
+      // split article's context windows silently truncate. Doc numbering is
+      // contiguous from 0 and an article is the consecutive range
+      // [a*CtxArticleDocs, ...), so inside one file rows either advance by
+      // exactly 1 (same article, sortWithinPartitions order) or jump to an
+      // article's FIRST doc; the same holds across a clean file boundary.
+      // Therefore any non-contiguous jump landing mid-article — in either
+      // direction, at any position — is precisely a mid-article file split
+      // (or an unsorted layout); fail loudly with the remedy.
+      var prevDocnum = Long.MinValue
+      val guarded = it.map { d =>
+        val docnum = d.doc_id.stripPrefix("d").toLong
+        require(docnum == prevDocnum + 1 || docnum % CtxArticleDocs == 0,
+          s"article-bucketed layout violated: non-contiguous jump to mid-article " +
+            s"doc ${d.doc_id} (previous docnum $prevDocnum) — a bucket file was " +
+            s"split across read tasks or written unsorted; rewrite with more " +
+            s"buckets or a larger parquet.block.size (writeArticleBucketed)")
+        prevDocnum = docnum
+        d
       }
+      val buf = guarded.buffered
       new Iterator[Seq[Mention]] {
         def hasNext: Boolean = buf.hasNext
         def next(): Seq[Mention] = {

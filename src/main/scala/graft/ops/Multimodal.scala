@@ -1,18 +1,25 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.kg.DocGen
 
-/** Multimodal column plumbing: media content as opaque `binary` payloads with
-  * typed metadata, processed in batch inside `mapPartitions` (the Scala
+/** Multimodal column plumbing: media content as opaque `binary` columns with
+  * typed metadata, decoded in batch inside `mapPartitions` (the Scala
   * analogue of mapInPandas batches).
   *
-  * The DECODE STEP IS A STUB — image/audio codecs are not in this container
-  * (see builder brief): `decodeStub` derives deterministic fake
-  * width/height/frame/feature values from the payload bytes. Everything
-  * around it — schema, binary column handling, partition batching, feature
-  * array shape — is the real plumbing a codec would drop into.
+  * The default paths decode REAL bytes with the JDK's own codecs (zero
+  * external deps — PNG/TIFF/BMP/GIF/JPEG readers ship with the JVM):
+  *
+  *   - [[decodePng]] / [[resizePng]]: single-image assets as staged PNG
+  *     payloads — `ImageIO.read`, real nearest-neighbor pixel resampling,
+  *     value-checked against stage-time PRE-ENCODE expectations
+  *   - [[tiffFeatures]] / [[sampleTiffFrames]]: multi-frame ("video") assets
+  *     as staged multi-page TIFF payloads — real frame counting + per-frame
+  *     pixel digests via the ImageIO reader sequence API
+  *
+  * [[StubDecoder]] remains ONLY as an explicit test seam for the
+  * decoder-boundary type ([[MediaDecoder]]) — no query defaults to it.
   */
 object Multimodal {
 
@@ -21,9 +28,19 @@ object Multimodal {
   final case class MediaFeatures(doc_id: String, media_ref: String, width: Int,
                                  height: Int, n_frames: Int, feature: Array[Float])
 
-  /** media spans → (doc, ref, caption, offset, payload). The payload is an
-    * opaque binary stand-in (md5 bytes of the ref) — in production this is
-    * the fetched object.
+  /** media spans → (doc, ref) — one row per span OCCURRENCE (a ref used
+    * twice in a corpus yields two rows), the join-back side for per-asset
+    * decode results.
+    */
+  def mediaSpans(spark: SparkSession, sfDir: String): DataFrame =
+    DocGen.docs(spark, sfDir).toDF()
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .where(col("s.kind") === "media")
+      .select(col("doc_id"), col("s.media_ref").as("media_ref"))
+
+  /** media spans with a SYNTHETIC payload (md5 bytes of the ref) — the input
+    * table of the [[MediaDecoder]] test seam; production assets arrive as
+    * fetched bytes instead.
     */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
     DocGen.docs(spark, sfDir).toDF()
@@ -44,10 +61,10 @@ object Multimodal {
     def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float])
   }
 
-  /** STUB decoder — image/audio codecs are not in this container (builder
-    * brief): deterministic pseudo-metadata + 8-dim feature vector from the
-    * payload bytes. A production swap is `mediaFeatures(spark, dir, new
-    * JpegDecoder)`, not an edit here.
+  /** TEST-SEAM decoder (no query defaults to this since the real ImageIO
+    * paths landed): deterministic pseudo-metadata + 8-dim feature vector from
+    * the payload bytes, for exercising the [[MediaDecoder]] plumbing without
+    * staged image fixtures.
     */
   object StubDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
@@ -60,8 +77,19 @@ object Multimodal {
     }
   }
 
-  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) =
-    StubDecoder.decode(payload)
+  /** 8-dim feature from REAL pixels: mean-centered red channel of the first 8
+    * pixels in row-major order — shared by the distributed decode paths and
+    * the stage-time pre-encode expectation, so oracle equality witnesses
+    * actual pixel decoding. Exact in float (values are k/128 for integer k).
+    */
+  def featureOf(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    Array.tabulate(8) { i =>
+      val p = img.getRGB(i % w, (i / w) % h)
+      (((p >> 16) & 0xff) - 128) / 128.0f
+    }
+  }
 
   // --------------------------------------------------------- real PNG path
 
@@ -78,23 +106,28 @@ object Multimodal {
   object ImageCodec {
 
     /** cheap deterministic pixel mix (splitmix-style) — only the stage-time
-      * GENERATOR uses it; the decode side never recomputes pixels
+      * GENERATORS use it; the decode side never recomputes pixels
       */
-    private def mix(seed: Long, x: Int, y: Int): Int = {
+    private[ops] def mix(seed: Long, x: Int, y: Int): Int = {
       var z = seed + (x * 0x9e3779b97f4a7c15L) + (y * 0xbf58476d1ce4e5b9L)
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       ((z ^ (z >>> 31)) & 0xffffff).toInt
     }
 
-    /** tiny deterministic RGB image for a media ref (4..19 px per side) */
-    def genImage(ref: String): java.awt.image.BufferedImage = {
-      val seed = graft.core.Rng.streamKey(s"png#$ref")
-      val w = 4 + (seed & 0xf).toInt
-      val h = 4 + ((seed >>> 8) & 0xf).toInt
+    /** deterministic RGB image for (seed, w, h) — shared by the PNG and TIFF
+      * frame generators
+      */
+    private[ops] def render(seed: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, mix(seed, x, y))
       img
+    }
+
+    /** tiny deterministic RGB image for a media ref (4..19 px per side) */
+    def genImage(ref: String): java.awt.image.BufferedImage = {
+      val seed = graft.core.Rng.streamKey(s"png#$ref")
+      render(seed, 4 + (seed & 0xf).toInt, 4 + ((seed >>> 8) & 0xf).toInt)
     }
 
     def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
@@ -127,24 +160,121 @@ object Multimodal {
       require(img != null, "ImageIO could not decode payload")
       Decoded(img.getWidth, img.getHeight, pixelMd5(img))
     }
+
+    /** fit (w, h) inside a maxSide box preserving aspect ratio → (out_w,
+      * out_h, scale rounded to 6dp). One Scala implementation shared by the
+      * distributed resize and the stage-time expectation, so the oracle
+      * equality can't drift on rounding.
+      */
+    def fitBox(w: Int, h: Int, maxSide: Int): (Int, Int, Double) = {
+      val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+      val outW = math.max(1, math.round(w * scale).toInt)
+      val outH = math.max(1, math.round(h * scale).toInt)
+      val scale6 = BigDecimal(scale).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (outW, outH, scale6)
+    }
+
+    /** deterministic nearest-neighbor resample (integer floor source lookup)
+      * — the REAL pixel transform behind mm_resize; the resized image's
+      * pixelMd5 is the decode+resample witness
+      */
+    def resampleNearest(img: java.awt.image.BufferedImage,
+                        outW: Int, outH: Int): java.awt.image.BufferedImage = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new java.awt.image.BufferedImage(outW, outH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * h / outH).toInt
+        var x = 0
+        while (x < outW) {
+          out.setRGB(x, y, img.getRGB((x.toLong * w / outW).toInt, sy))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
-  /** ImageIO-backed [[MediaDecoder]] — the production swap-in the stub's
-    * scaladoc promises: payload bytes are a real encoded image; metadata and
-    * an 8-dim feature (mean-centered red channel of the first 8 pixels) come
-    * from actual pixel decoding.
+  // ------------------------------------------------- real multi-frame path
+
+  /** Multi-frame ("video") assets as multi-page TIFF — the JDK's TIFF plugin
+    * (JEP 262, since JDK 9) reads and writes lossless uncompressed RGB image
+    * SEQUENCES, so frame counting and per-frame pixel digests exercise a real
+    * container format end-to-end. Stage-time generates deterministic frames
+    * (fixed dims per asset, 2..9 frames) and records per-frame pre-encode
+    * digests; the distributed side decodes the byte payload only.
+    */
+  object FrameCodec {
+
+    def frameCount(ref: String): Int = {
+      val seed = graft.core.Rng.streamKey(s"tif#$ref")
+      2 + ((seed >>> 16) & 0x7).toInt
+    }
+
+    /** deterministic frames for a ref: fixed (w, h) per asset, per-frame
+      * seeded pixels
+      */
+    def genFrames(ref: String): Vector[java.awt.image.BufferedImage] = {
+      val seed = graft.core.Rng.streamKey(s"tif#$ref")
+      val w = 4 + (seed & 0xf).toInt
+      val h = 4 + ((seed >>> 8) & 0xf).toInt
+      (0 until frameCount(ref)).map { i =>
+        ImageCodec.render(graft.core.Rng.streamKey(s"tif#$ref#f$i"), w, h)
+      }.toVector
+    }
+
+    /** frames → one multi-page TIFF byte payload (ImageIO sequence writer,
+      * default = uncompressed, lossless)
+      */
+    def tiffBytes(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writers = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+      require(writers.hasNext, "JDK TIFF writer missing")
+      val writer = writers.next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach(f =>
+          writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      bos.toByteArray
+    }
+
+    /** one TIFF payload → all frames (real sequence decode) */
+    def readFrames(bytes: Array[Byte]): Vector[java.awt.image.BufferedImage] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "ImageIO could not identify payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n > 0, "empty image sequence")
+        (0 until n).map(reader.read).toVector
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
+  }
+
+  /** ImageIO-backed [[MediaDecoder]]: payload bytes are a real encoded image;
+    * metadata and the 8-dim feature come from actual pixel decoding.
     */
   object ImageIoDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null, "ImageIO could not decode payload")
-      val w = img.getWidth
-      val h = img.getHeight
-      val feature = Array.tabulate(8) { i =>
-        val p = img.getRGB(i % w, (i / w) % h)
-        (((p >> 16) & 0xff) - 128) / 128.0f
-      }
-      (w, h, 1, feature)
+      (img.getWidth, img.getHeight, 1, featureOf(img))
     }
   }
 
@@ -166,9 +296,94 @@ object Multimodal {
       }).toDF()
   }
 
-  /** feature extraction over binary media columns — batched per partition. */
+  /** the box side mm_resize fits into — smaller than most staged assets
+    * (4..19 px), so real downscales happen; shared with the stage-time
+    * expectation
+    */
+  val ResizeMaxSide = 8
+
+  final case class ResizedRow(media_ref: String, width: Int, height: Int,
+                              out_width: Int, out_height: Int, scale: Double,
+                              resized_md5: String)
+
+  /** REAL resize over the staged PNG payloads: `ImageIO.read`, aspect-fit box
+    * math, nearest-neighbor pixel resample, md5 of the RESIZED pixels — then
+    * a broadcast join back onto the doc-span occurrences (assets ≪
+    * occurrences; the decoded side is one slim row per distinct asset, far
+    * under broadcast limits by construction). The oracle compares against
+    * stage-time expectations computed from the pre-encode image with the same
+    * shared fitBox/resample, so a pass witnesses actual pixel decoding AND
+    * resampling.
+    */
+  def resizePng(spark: SparkSession, sfDir: String, pngTable: String,
+                maxSide: Int = ResizeMaxSide): DataFrame = {
+    import spark.implicits._
+    val decoded = spark.read.parquet(pngTable)
+      .select(col("media_ref"), col("png")).as[PngRow]
+      .mapPartitions(_.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+        require(img != null, "ImageIO could not decode payload")
+        val (ow, oh, scale) = ImageCodec.fitBox(img.getWidth, img.getHeight, maxSide)
+        ResizedRow(r.media_ref, img.getWidth, img.getHeight, ow, oh, scale,
+          ImageCodec.pixelMd5(ImageCodec.resampleNearest(img, ow, oh)))
+      }).toDF()
+    mediaSpans(spark, sfDir).join(broadcast(decoded), Seq("media_ref"))
+      .select(col("doc_id"), col("media_ref"), col("width"), col("height"),
+        col("out_width"), col("out_height"), col("scale"), col("resized_md5"))
+  }
+
+  final case class TiffRow(media_ref: String, tiff: Array[Byte])
+  final case class TiffFeatures(media_ref: String, width: Int, height: Int,
+                                n_frames: Int, feature: Array[Float])
+  final case class FrameRow(media_ref: String, n_frames: Int, frame_idx: Int,
+                            frame_md5: String)
+
+  /** REAL feature extraction over the staged multi-frame TIFF payloads:
+    * decode the sequence, count frames (real container metadata), features
+    * from frame 0's actual pixels; broadcast-joined back to doc-span
+    * occurrences. Value-checked against per-asset pre-encode expectations.
+    */
+  def tiffFeatures(spark: SparkSession, sfDir: String, tiffTable: String): DataFrame = {
+    import spark.implicits._
+    val decoded = spark.read.parquet(tiffTable)
+      .select(col("media_ref"), col("tiff")).as[TiffRow]
+      .mapPartitions(_.map { r =>
+        val frames = FrameCodec.readFrames(r.tiff)
+        val f0 = frames.head
+        TiffFeatures(r.media_ref, f0.getWidth, f0.getHeight, frames.length, featureOf(f0))
+      }).toDF()
+    mediaSpans(spark, sfDir).join(broadcast(decoded), Seq("media_ref"))
+      .select(col("doc_id"), col("media_ref"), col("width"), col("height"),
+        col("n_frames"), col("feature"))
+  }
+
+  /** REAL frame sampling: decode the TIFF sequence, take every `stride`-th
+    * frame, digest each sampled frame's actual pixels. Fan-out stays
+    * ceil(n/stride) per asset; the per-frame md5s are value-checked against
+    * the stage-time pre-encode digests of the same frames.
+    */
+  def sampleTiffFrames(spark: SparkSession, sfDir: String, tiffTable: String,
+                       stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    val decoded = spark.read.parquet(tiffTable)
+      .select(col("media_ref"), col("tiff")).as[TiffRow]
+      .mapPartitions(_.flatMap { r =>
+        val frames = FrameCodec.readFrames(r.tiff)
+        (0 until frames.length by stride).map(i =>
+          FrameRow(r.media_ref, frames.length, i, ImageCodec.pixelMd5(frames(i))))
+      }).toDF()
+    mediaSpans(spark, sfDir).join(broadcast(decoded), Seq("media_ref"))
+      .select(col("doc_id"), col("media_ref"), col("n_frames"), col("frame_idx"),
+        concat(col("media_ref"), lit("#f"), col("frame_idx")).as("frame_ref"),
+        col("frame_md5"))
+  }
+
+  /** generic decoder-seam feature extraction over binary media columns —
+    * batched per partition; callers choose the decoder explicitly (specs use
+    * [[StubDecoder]]/custom seams, production wraps its codec libraries).
+    */
   def mediaFeatures(spark: SparkSession, sfDir: String,
-                    decoder: MediaDecoder = StubDecoder): DataFrame = {
+                    decoder: MediaDecoder): DataFrame = {
     import spark.implicits._
     mediaTable(spark, sfDir).as[MediaRow].mapPartitions { it =>
       it.map { m =>
@@ -177,32 +392,4 @@ object Multimodal {
       }
     }.toDF()
   }
-
-  /** Resize plumbing: fit (width, height) inside a `maxSide` box preserving
-    * aspect ratio — the metadata math a resize kernel needs, computed in
-    * Catalyst (the pixel transform itself would live inside the same
-    * mapPartitions the decode stub marks).
-    */
-  def resized(spark: SparkSession, sfDir: String, maxSide: Int = 128): DataFrame =
-    mediaFeatures(spark, sfDir)
-      .withColumn("scale",
-        least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))))
-      .select(col("doc_id"), col("media_ref"), col("width"), col("height"),
-        greatest(lit(1), round(col("width") * col("scale")).cast("int")).as("out_width"),
-        greatest(lit(1), round(col("height") * col("scale")).cast("int")).as("out_height"),
-        round(col("scale"), 6).as("scale"))
-
-  /** Frame sampling: one row per sampled frame (every `stride`-th frame of
-    * the stub's n_frames), with a deterministic per-frame payload ref. The
-    * explode is the real plumbing — a video pipeline swaps the payload
-    * derivation for actual frame bytes; row count stays ceil(n/stride) per
-    * asset, so the fan-out is bounded and uniform.
-    */
-  def frameSamples(spark: SparkSession, sfDir: String, stride: Int = 4): DataFrame =
-    mediaFeatures(spark, sfDir)
-      .select(col("doc_id"), col("media_ref"), col("n_frames"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
-      .withColumn("frame_ref",
-        concat(col("media_ref"), lit("#f"), col("frame_idx")))
-      .withColumn("frame_payload", unhex(md5(col("frame_ref"))))
 }

@@ -28,16 +28,18 @@ object Similarity {
   def embDf(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  private def queries(spark: SparkSession, sfDir: String): DataFrame =
-    embDf(spark, sfDir).where(col("vec_id") % QueryMod === 0)
+  private def queries(spark: SparkSession, sfDir: String,
+                      queryMod: Long = QueryMod): DataFrame =
+    embDf(spark, sfDir).where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
 
   /** Exact top-k neighbors per query (cosine rounded to 6dp for
     * deterministic cross-engine ranking; ties broken by vec_id).
     */
-  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def cosineTopK(spark: SparkSession, sfDir: String,
+                 queryMod: Long = QueryMod): DataFrame = {
     val e = embDf(spark, sfDir)
-    val scored = e.crossJoin(broadcast(queries(spark, sfDir)))
+    val scored = e.crossJoin(broadcast(queries(spark, sfDir, queryMod)))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(Fns.cosine_sim(col("q"), col("embedding")), 6).as("cosine"))
@@ -120,10 +122,11 @@ object Similarity {
     */
   private val IvfIndexVersion = "ivfidx-v1"
 
-  def kmeansCentroids(spark: SparkSession, sfDir: String): Seq[Array[Float]] =
-    centroidCache.getOrElseUpdate(s"$sfDir|${corpusSig(sfDir)}", {
+  def kmeansCentroids(spark: SparkSession, sfDir: String,
+                      k: Int = IvfClusters): Seq[Array[Float]] =
+    centroidCache.getOrElseUpdate(s"$sfDir|k=$k|${corpusSig(sfDir)}", {
       val e = embDf(spark, sfDir).select("vec_id", "embedding").cache()
-      var cents = e.orderBy(md5(col("vec_id").cast("string"))).limit(IvfClusters)
+      var cents = e.orderBy(md5(col("vec_id").cast("string"))).limit(k)
         .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
       for (_ <- 1 to KmeansIters) {
         val means = e
@@ -191,30 +194,45 @@ object Similarity {
     * corpus scale the index is built once per centroid epoch and queries
     * are pure pruned reads.
     */
-  def buildIvfIndex(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
-    val cents = kmeansCentroids(spark, sfDir)
+  def buildIvfIndex(spark: SparkSession, sfDir: String, indexDir: String,
+                    k: Int = IvfClusters, rep: Int = IvfAssignRep): Unit = {
+    val cents = kmeansCentroids(spark, sfDir, k)
     embDf(spark, sfDir)
       .withColumn("scores", centroidScores(col("embedding"), cents))
       .select(col("vec_id"), col("embedding"),
-        explode(expr(s"slice(reverse(array_sort(scores)), 1, $IvfAssignRep)")).as("a"))
+        explode(expr(s"slice(reverse(array_sort(scores)), 1, $rep)")).as("a"))
       .select(col("vec_id"), col("embedding"), col("a.k").as("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(indexDir)
   }
+
+  /** per-indexDir build locks: two concurrent callers observing a stale or
+    * absent `_CORPUS_SIG` must not run overlapping `overwrite` writes into
+    * the same indexDir (the same serialize-the-builder pattern as
+    * `KgRunner.ensureRun`'s `synchronized`); distinct index dirs still build
+    * in parallel
+    */
+  private val ivfBuildLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** Corpus-signature marker next to the index (same scheme as
     * ReaderStage._STAGED): rebuilds are gated on marker mismatch, so an
     * in-place corpus regeneration can never serve stale inverted lists (even
     * within one JVM), and a fresh JVM skips the rebuild when the on-disk
-    * index already matches the corpus.
+    * index already matches the corpus. Check + build are serialized per
+    * indexDir so concurrent callers can't interleave overwrite writes.
     */
-  def ensureIvfIndex(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
-    val marker = java.nio.file.Paths.get(indexDir, "_CORPUS_SIG")
-    val sig = s"$IvfIndexVersion:${corpusSig(sfDir)}"
-    if (java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == sig) return
-    buildIvfIndex(spark, sfDir, indexDir)
-    java.nio.file.Files.writeString(marker, sig)
-  }
+  def ensureIvfIndex(spark: SparkSession, sfDir: String, indexDir: String,
+                     k: Int = IvfClusters, rep: Int = IvfAssignRep): Unit =
+    ivfBuildLocks.getOrElseUpdate(indexDir, new Object).synchronized {
+      val marker = java.nio.file.Paths.get(indexDir, "_CORPUS_SIG")
+      val sig = s"$IvfIndexVersion:k=$k:rep=$rep:${corpusSig(sfDir)}"
+      val fresh = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == sig
+      if (!fresh) {
+        buildIvfIndex(spark, sfDir, indexDir, k, rep)
+        java.nio.file.Files.writeString(marker, sig)
+      }
+    }
 
   /** Query path over the materialized index: probe clusters are resolved
     * first (a driver-sized set — the router step of any ANN service), the
@@ -223,25 +241,41 @@ object Similarity {
     * `annIvf` (spec-pinned), so the staged-centroid DuckDB oracle covers
     * this path too.
     */
-  def annIvfIndexed(spark: SparkSession, sfDir: String, indexDir: String): DataFrame = {
+  /** the router step alone: (query_id, q, probed cluster) rows,
+    * driver-collected — |queries| × probes rows by construction
+    */
+  private[graft] def probeRows(spark: SparkSession, sfDir: String, k: Int,
+                               probes: Int, queryMod: Long): Array[(Long, Array[Float], Int)] = {
     import spark.implicits._
-    val cents = kmeansCentroids(spark, sfDir)
-    // the probe table is driver-sized by construction (|queries| × IvfProbes
+    val cents = kmeansCentroids(spark, sfDir, k)
+    embDf(spark, sfDir).where(col("vec_id") % queryMod === 0)
+      .withColumn("scores", centroidScores(col("embedding"), cents))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        explode(expr(s"slice(reverse(array_sort(scores)), 1, $probes)")).as("p"))
+      .select(col("query_id"), col("q"), col("p.k").as("cluster"))
+      .as[(Long, Array[Float], Int)].collect()
+  }
+
+  /** the distinct probed cluster ids (AnnBench's pruned-bytes accounting) */
+  def annIvfProbedClusters(spark: SparkSession, sfDir: String, k: Int = IvfClusters,
+                           probes: Int = IvfProbes, queryMod: Long = QueryMod): Seq[Int] =
+    probeRows(spark, sfDir, k, probes, queryMod).map(_._3).distinct.toSeq
+
+  def annIvfIndexed(spark: SparkSession, sfDir: String, indexDir: String,
+                    k: Int = IvfClusters, probes: Int = IvfProbes,
+                    queryMod: Long = QueryMod): DataFrame = {
+    import spark.implicits._
+    // the probe table is driver-sized by construction (|queries| × probes
     // rows — the router step of an ANN service), so compute it ONCE, collect
     // it, and serve both the partition filter and the broadcast join from
     // the collected rows instead of scanning/scoring the query side twice
-    val probeRows = embDf(spark, sfDir).where(col("vec_id") % QueryMod === 0)
-      .withColumn("scores", centroidScores(col("embedding"), cents))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        explode(expr(s"slice(reverse(array_sort(scores)), 1, $IvfProbes)")).as("p"))
-      .select(col("query_id"), col("q"), col("p.k").as("cluster"))
-      .as[(Long, Array[Float], Int)].collect()
-    val probes = spark.createDataset(probeRows.toIndexedSeq)
+    val routed = probeRows(spark, sfDir, k, probes, queryMod)
+    val probeDf = spark.createDataset(routed.toIndexedSeq)
       .toDF("query_id", "q", "cluster")
-    val probed = probeRows.map(_._3).distinct
+    val probed = routed.map(_._3).distinct
     val index = spark.read.parquet(indexDir)
       .where(col("cluster").isInCollection(probed.toIndexedSeq))
-    val cand = index.join(broadcast(probes), Seq("cluster"))
+    val cand = index.join(broadcast(probeDf), Seq("cluster"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(Fns.cosine_sim(col("q"), col("embedding")), 6).as("cosine"))

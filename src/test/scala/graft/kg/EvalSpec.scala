@@ -192,4 +192,22 @@ class EvalSpec extends AnyFunSuite {
     assert(!(ds2 eq ds1), "regenerated corpus must not serve the stale cached slice")
     assert(ds2.count() == ds1.count(), "same data content regardless of cache identity")
   }
+
+  test("repeated slice invocations hold a bounded number of model broadcasts") {
+    // warm the registry slots this mix of entry points uses
+    Eval.slicePred(spark, sfDir)
+    Eval.sliceVariantPred(spark, sfDir, "bidirectional")
+    val before = graft.core.BcRegistry.liveCount
+    // a long session (Bench's interleaved passes) re-invokes these dozens of
+    // times; each call must REUSE the registered broadcasts, not mint new
+    // ones — the pre-registry code leaked one multi-MB broadcast per call
+    (1 to 4).foreach { _ =>
+      Eval.slicePred(spark, sfDir)
+      Eval.sliceVariantPred(spark, sfDir, "bidirectional")
+      Eval.sliceCtxPred(spark, sfDir) // same model + vw slots as the two above
+      Eval.sliceLinked(spark, sfDir)
+    }
+    assert(graft.core.BcRegistry.liveCount == before,
+      s"broadcast registry grew: $before -> ${graft.core.BcRegistry.liveCount}")
+  }
 }

@@ -139,6 +139,68 @@ class KgPipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
   }
 
+  test("bucketed guard catches a mid-article chunk packed behind a valid partition head") {
+    import spark.implicits._
+    val bcM = spark.sparkContext.broadcast(model)
+    val bcV = spark.sparkContext.broadcast(
+      graft.core.VariantWeights.build(Mentions.ModelSeed, ModelConfig(), Mentions.Kinds.length))
+    // The r4 guard checked only the partition HEAD. Spark packs multiple file
+    // chunks into one read partition in size-descending bins, so a
+    // mid-article chunk landing AFTER a clean file leaves the partition
+    // starting at a valid article boundary while a split article silently
+    // truncates. Reproduce that placement: file A = a complete article
+    // (article-start head, larger), file B = another article's TAIL
+    // (smaller, mid-article) — bin-packing puts A first, B mid-partition.
+    val art1 = goldDocs.filter(d => Mentions.articleIdOf(d.doc_id) == 1L)
+      .sortBy(_.doc_id)
+    val art0tail = goldDocs.filter(d => Mentions.articleIdOf(d.doc_id) == 0L)
+      .sortBy(_.doc_id).drop(2)
+    assert(art1.nonEmpty && art0tail.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctx_packed")
+    def writeOne(docs: Seq[PyramidDoc], mode: String): Unit =
+      spark.createDataset(docs).toDF().repartition(1).sortWithinPartitions("doc_id")
+        .write.mode(mode).parquet(dir.toString)
+    writeOne(art1, "overwrite")
+    def partSizes(): Map[String, Long] = {
+      val s = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .map(p => p.getFileName.toString -> java.nio.file.Files.size(p)).toMap
+      } finally s.close()
+    }
+    val aFiles = partSizes()
+    writeOne(art0tail, "append")
+    val all = partSizes()
+    val aSize = aFiles.values.sum
+    val bSize = (all -- aFiles.keys).values.sum
+    assert(aSize > bSize, s"placement needs file A ($aSize B) > file B ($bSize B)")
+    val olds = Seq("spark.sql.files.openCostInBytes", "spark.sql.files.minPartitionNum")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    try {
+      // precondition: the adversarial placement really is ONE partition whose
+      // head is a valid article start (the case the head-only guard missed)
+      val heads = spark.read.parquet(dir.toString).as[PyramidDoc]
+        .mapPartitions(it => if (it.hasNext) Iterator.single(it.next().doc_id)
+                             else Iterator.empty).collect()
+      assert(heads.length == 1 && heads.head == art1.head.doc_id,
+        s"expected one packed partition headed by ${art1.head.doc_id}, got ${heads.toSeq}")
+      val e = intercept[org.apache.spark.SparkException] {
+        Mentions.detectContextualBucketed(spark, dir.toString, bcM, bcV).collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("mid-article")),
+        s"expected the mid-article guard, got: ${chain(e).mkString(" | ")}")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("alias dictionary matches the sequential re-derivation") {
     val got = AliasDict.build(DocGen.docs(spark, sfDir))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),

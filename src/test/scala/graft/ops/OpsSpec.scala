@@ -234,8 +234,8 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("media feature extraction is deterministic with the documented stub shape") {
-    val a = Multimodal.mediaFeatures(spark, sfDir).collect()
-    val b = Multimodal.mediaFeatures(spark, sfDir).collect()
+    val a = Multimodal.mediaFeatures(spark, sfDir, Multimodal.StubDecoder).collect()
+    val b = Multimodal.mediaFeatures(spark, sfDir, Multimodal.StubDecoder).collect()
     assert(a.length == b.length && a.nonEmpty)
     val fa = a.map(r => (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
     val fb = b.map(r => (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
@@ -317,31 +317,90 @@ class OpsSpec extends AnyFunSuite {
     assert((rows(0).getInt(0), rows(0).getInt(1), rows(0).getInt(2)) == ((2, 3, 4)))
   }
 
-  test("resize fits the max-side box preserving aspect ratio") {
-    val rows = Multimodal.resized(spark, sfDir, maxSide = 128).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val (w, h, ow, oh) = (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
-      assert(ow <= 128 && oh <= 128, s"fits box: $ow x $oh")
-      assert(math.max(ow, oh) >= 127 || (w <= 128 && h <= 128),
-        s"long side fills the box unless source is smaller: $w x $h -> $ow x $oh")
-      // aspect preserved within rounding (relative: ±1 px on the short side)
-      val aspect = w.toDouble / h
-      assert(math.abs(ow.toDouble / oh - aspect) <= aspect / math.min(ow, oh) + 1e-9,
-        s"$w x $h -> $ow x $oh")
+  test("fitBox fits the max-side box preserving aspect ratio; resample is exact on floors") {
+    for (w <- 1 to 40; h <- 1 to 40) {
+      val (ow, oh, scale) = Multimodal.ImageCodec.fitBox(w, h, 8)
+      assert(ow <= 8 && oh <= 8 && ow >= 1 && oh >= 1, s"fits box: $w x $h -> $ow x $oh")
+      if (w <= 8 && h <= 8) assert((ow, oh, scale) == ((w, h, 1.0)), "no upscale")
+      else assert(math.max(ow, oh) == 8, s"long side fills the box: $w x $h -> $ow x $oh")
+      // aspect preserved within rounding — unless a side CLAMPED to 1 (an
+      // extreme ratio like 1x17 rounds its short side to 0; the max(1, _)
+      // floor then distorts aspect by design)
+      val s = math.min(1.0, 8.0 / math.max(w, h))
+      val clamped = math.round(w * s) < 1 || math.round(h * s) < 1
+      if (!clamped) {
+        val aspect = w.toDouble / h
+        assert(math.abs(ow.toDouble / oh - aspect) <= aspect / math.min(ow, oh) + 1e-9,
+          s"$w x $h -> $ow x $oh")
+      }
     }
+    // nearest-neighbor floor semantics: 2x downscale of a 4x4 picks pixels
+    // at even coordinates
+    val img = Multimodal.ImageCodec.render(42L, 4, 4)
+    val out = Multimodal.ImageCodec.resampleNearest(img, 2, 2)
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert(out.getRGB(x, y) == img.getRGB(2 * x, 2 * y))
   }
 
-  test("frame sampling emits every stride-th frame with deterministic refs") {
+  test("TIFF sequence codec round-trips frame count and per-frame pixels") {
+    val ref = "m://spec-video"
+    val frames = Multimodal.FrameCodec.genFrames(ref)
+    assert(frames.length == Multimodal.FrameCodec.frameCount(ref) && frames.length >= 2)
+    val back = Multimodal.FrameCodec.readFrames(Multimodal.FrameCodec.tiffBytes(frames))
+    assert(back.length == frames.length, "frame count survives the container")
+    frames.zip(back).foreach { case (a, b) =>
+      assert(Multimodal.ImageCodec.pixelMd5(a) == Multimodal.ImageCodec.pixelMd5(b),
+        "lossless per-frame round-trip")
+    }
+    // a truncated payload must fail loudly, not hash-mismatch silently
+    intercept[Exception](
+      Multimodal.FrameCodec.readFrames(Multimodal.FrameCodec.tiffBytes(frames).take(16)))
+  }
+
+  test("real resize over staged PNGs matches pre-encode expectations") {
+    val stage = graft.kg.KgStage.stage(spark, sfDir)
+    val got = Multimodal.resizePng(spark, sfDir, s"$stage/media_png.parquet").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getDouble(6), r.getString(7))).toSet
+    assert(got.nonEmpty)
+    val spans = spark.read.parquet(s"$stage/docs_spans.parquet")
+      .where(col("kind") === "media").select("doc_id", "media_ref").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = spark.read.parquet(s"$stage/media_resize.parquet").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5), r.getString(6))).toMap
+    val expected = spans.map { case (doc, ref) =>
+      val e = want(ref)
+      (doc, ref, e._1, e._2, e._3, e._4, e._5, e._6)
+    }.toSet
+    assert(got == expected, "distributed decode+resample must equal staged pre-encode")
+  }
+
+  test("real frame sampling emits every stride-th frame with real pixel digests") {
+    val stage = graft.kg.KgStage.stage(spark, sfDir)
     val stride = 4
-    val rows = Multimodal.frameSamples(spark, sfDir, stride).collect()
-      .map(r => (r.getString(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val rows = Multimodal
+      .sampleTiffFrames(spark, sfDir, s"$stage/media_tiff.parquet", stride).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getInt(3), r.getString(4), r.getString(5)))
     assert(rows.nonEmpty)
+    val wantMd5 = spark.read.parquet(s"$stage/media_frames.parquet").collect()
+      .map(r => (r.getString(0), r.getInt(2)) -> r.getString(3)).toMap
     rows.groupBy(_._1).foreach { case (ref, rs) =>
       val n = rs.head._2
       val want = (0 until n by stride).toList
-      assert(rs.map(_._3).sorted.toList == want, s"frames of $ref")
-      rs.foreach { case (_, _, idx, fref) => assert(fref == s"$ref#f$idx") }
+      assert(rs.map(_._3).distinct.sorted.toList == want, s"frames of $ref")
+      rs.foreach { case (_, _, idx, fref, md5) =>
+        assert(fref == s"$ref#f$idx")
+        assert(md5 == wantMd5((ref, idx)), s"decoded frame digest of $ref#$idx")
+      }
     }
+    // features ride the same real container: frame count + frame-0 pixels
+    val feats = Multimodal.tiffFeatures(spark, sfDir, s"$stage/media_tiff.parquet")
+      .select("media_ref", "n_frames").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val stagedN = spark.read.parquet(s"$stage/media_tiff.parquet")
+      .select("media_ref", "n_frames").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(feats == stagedN, "decoded frame counts must equal staged pre-encode counts")
   }
 }
