@@ -90,19 +90,65 @@ object Similarity {
     * DuckDB oracle computing round(list_cosine_similarity, 6) over the
     * STAGED centroids makes identical assignment/probe selections.
     */
-  private def centroidScores(emb: Column, cents: Seq[Array[Float]]): Column =
+  private[ops] def centroidScores(emb: Column, cents: Seq[Array[Float]]): Column =
     array(cents.zipWithIndex.map { case (c, k) =>
       struct(round(Fns.cosine_sim(emb, typedlit(c)), 6).as("s"), lit(k).as("k"))
     }: _*)
 
-  /** Seeded spherical k-means centroids, run as DataFrame jobs: assignment is
-    * the same broadcast-literal scoring scan as query time; the update step
-    * is a posexplode + (cluster, dim) average — one narrow shuffle per
-    * iteration. Deterministic: init picks the `IvfClusters` vectors with the
-    * smallest md5(vec_id) (a seeded uniform sample), averages are rounded to
-    * 6dp so partition-order float noise (~1e-13) can't flip an assignment,
-    * and argmax ties break on cluster id. Index-build cost amortizes across
-    * queries — cached per sfDir like the mention model.
+  // ---------------------------------------------- fast scoring (scan path)
+
+  /** Spark `round(_, 6)` exactly (HALF_UP on the decimal form of the double)
+    * — the rounding every assignment/probe decision goes through, shared
+    * between the Catalyst-expression path and the mapPartitions scan path so
+    * the two are bit-identical.
+    */
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** plain-loop mirror of [[graft.functions.CosineSimilarity]] — same
+    * accumulation order, so the value is bit-identical to the expression
+    */
+  private def cosineLoop(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x(i).toDouble; val yv = y(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  /** top-`rep` clusters by (6dp-rounded score DESC, cluster id DESC) — the
+    * exact ordering of `reverse(array_sort(scores))` over (s, k) structs in
+    * [[centroidScores]] (struct sort is lexicographic, so the reverse breaks
+    * score ties on the LARGER cluster id). OpsSpec pins loop == expression.
+    *
+    * This is the SCAN path for centroid scoring: the literal-array expression
+    * is fine for the driver-sized router/query tables, but at corpus scale ×
+    * large k the k-struct array construction per row dominates — a broadcast
+    * centroid table + tight loop is the shape that survives 10^9 rows (the
+    * same reasoning as the mention model broadcast).
+    */
+  private[ops] def topClustersLoop(emb: Array[Float], cents: Array[Array[Float]],
+                                   rep: Int): Array[Int] = {
+    val s = new Array[Double](cents.length)
+    var k = 0
+    while (k < cents.length) { s(k) = round6(cosineLoop(emb, cents(k))); k += 1 }
+    Array.range(0, cents.length).sortBy(k => (-s(k), -k)).take(rep)
+  }
+
+  /** Seeded spherical k-means centroids. Assignment runs as a broadcast +
+    * mapPartitions scan ([[topClustersLoop]] — bit-identical to the literal
+    * expression), and the update step aggregates per-partition partial
+    * (cluster, dim) sums — k×(dim+1) values per task instead of a
+    * posexplode shuffle of n×dim rows. Deterministic: init picks the k
+    * vectors with the smallest md5(vec_id) (a seeded uniform sample),
+    * averages are rounded to 6dp so partition/merge-order float noise
+    * (~1e-13) can't flip an assignment, and argmax ties break on cluster id.
+    * Index-build cost amortizes across queries — cached per sfDir like the
+    * mention model.
     */
   private val centroidCache = scala.collection.concurrent.TrieMap.empty[String, Seq[Array[Float]]]
 
@@ -125,18 +171,41 @@ object Similarity {
   def kmeansCentroids(spark: SparkSession, sfDir: String,
                       k: Int = IvfClusters): Seq[Array[Float]] =
     centroidCache.getOrElseUpdate(s"$sfDir|k=$k|${corpusSig(sfDir)}", {
+      import spark.implicits._
       val e = embDf(spark, sfDir).select("vec_id", "embedding").cache()
       var cents = e.orderBy(md5(col("vec_id").cast("string"))).limit(k)
         .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+      val typed = e.as[(Long, Array[Float])]
       for (_ <- 1 to KmeansIters) {
-        val means = e
-          .withColumn("scores", centroidScores(col("embedding"), cents))
-          .withColumn("cluster", expr("array_max(scores).k"))
-          .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("cluster", "pos").agg(round(avg(col("v")), 6).as("m"))
-          .collect()
+        val bcC = spark.sparkContext.broadcast(cents.toArray)
+        // one scan: per-partition partial (cluster → sumVec, count), merged
+        // on the driver (k×(dim+1) doubles per task — no row-level shuffle)
+        val partials = typed.mapPartitions { it =>
+          val cs = bcC.value
+          var sums: Array[Array[Double]] = null
+          val counts = new Array[Long](cs.length)
+          it.foreach { case (_, emb) =>
+            if (sums == null) sums = Array.ofDim[Double](cs.length, emb.length)
+            val c = topClustersLoop(emb, cs, 1)(0)
+            var d = 0
+            while (d < emb.length) { sums(c)(d) += emb(d); d += 1 }
+            counts(c) += 1
+          }
+          if (sums == null) Iterator.empty
+          else Iterator.range(0, cs.length).map(c => (c, sums(c), counts(c)))
+        }.collect()
+        bcC.destroy()
+        val dim = cents.head.length
+        val sum = Array.ofDim[Double](cents.length, dim)
+        val cnt = new Array[Long](cents.length)
+        partials.foreach { case (c, s, n) =>
+          var d = 0
+          while (d < dim) { sum(c)(d) += s(d); d += 1 }
+          cnt(c) += n
+        }
         val next = cents.map(_.clone).toArray
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+        for (c <- cents.indices if cnt(c) > 0; d <- 0 until dim)
+          next(c)(d) = round6(sum(c)(d) / cnt(c)).toFloat
         cents = next.toSeq
       }
       e.unpersist()
@@ -196,12 +265,20 @@ object Similarity {
     */
   def buildIvfIndex(spark: SparkSession, sfDir: String, indexDir: String,
                     k: Int = IvfClusters, rep: Int = IvfAssignRep): Unit = {
-    val cents = kmeansCentroids(spark, sfDir, k)
-    embDf(spark, sfDir)
-      .withColumn("scores", centroidScores(col("embedding"), cents))
-      .select(col("vec_id"), col("embedding"),
-        explode(expr(s"slice(reverse(array_sort(scores)), 1, $rep)")).as("a"))
-      .select(col("vec_id"), col("embedding"), col("a.k").as("cluster"))
+    import spark.implicits._
+    val cents = kmeansCentroids(spark, sfDir, k).toArray
+    val bcC = spark.sparkContext.broadcast(cents)
+    // assignment is the corpus-sized scan — broadcast + loop (bit-identical
+    // to the literal-expression scoring; OpsSpec pins it), not a k-struct
+    // array construction per row
+    embDf(spark, sfDir).select("vec_id", "embedding").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.flatMap { case (id, emb) =>
+          topClustersLoop(emb, cs, rep).iterator.map(c => (id, emb, c))
+        }
+      }
+      .toDF("vec_id", "embedding", "cluster")
       .write.mode("overwrite").partitionBy("cluster").parquet(indexDir)
   }
 

@@ -208,6 +208,27 @@ class OpsSpec extends AnyFunSuite {
     assert(Files.readString(marker) != sig1, "regenerated corpus must rebuild the index")
   }
 
+  test("loop centroid scoring (scan path) == literal-expression scoring, ordered") {
+    import spark.implicits._
+    val cents = Similarity.kmeansCentroids(spark, sfDir)
+    val viaExpr = Similarity.embDf(spark, sfDir)
+      .withColumn("scores", Similarity.centroidScores(col("embedding"), cents))
+      .select(col("vec_id"),
+        expr(s"transform(slice(reverse(array_sort(scores)), 1, ${Similarity.IvfAssignRep}), a -> a.k)")
+          .as("ks"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val centsArr = cents.toArray
+    val viaLoop = Similarity.embDf(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, emb) =>
+        id -> Similarity.topClustersLoop(emb, centsArr, Similarity.IvfAssignRep).toSeq
+      }.toMap
+    assert(viaLoop.nonEmpty && viaLoop.keySet == viaExpr.keySet)
+    viaLoop.foreach { case (id, ks) =>
+      assert(ks == viaExpr(id), s"vec $id: loop $ks vs expr ${viaExpr(id)}")
+    }
+  }
+
   test("exact dedup groups cover all docs; jaccard pairs are symmetric-free and thresholded") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val groups = Dedup.exact(spark, sfDir)
