@@ -2,9 +2,7 @@ package graft
 
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 import graft.core.Fmt
 import graft.ops.Similarity
@@ -20,10 +18,12 @@ import graft.ops.Similarity
   *
   *   - indexed probe reads (`annIvfIndexed`) vs the brute-force scan
   *     (`cosineTopK`) on identical queries — wall time, min of 2 reps;
-  *   - BYTES READ (SparkListener inputMetrics) for both paths, plus the
-  *     on-disk pruned-vs-total index bytes for the probed partitions — the
-  *     measured row behind the "a probe reads ~probes·rep/clusters of the
-  *     corpus via static partition pruning" claim;
+  *   - on-disk pruned-vs-total bytes: size of the probed `cluster=`
+  *     partitions vs the whole index, plus a PartitionFilters plan assert —
+  *     the measured row behind the "a probe reads ~probes·rep/clusters of
+  *     the corpus via static partition pruning" claim. (Task inputMetrics
+  *     were tried and under-report on local-FS scans, so disk accounting is
+  *     the honest number.)
   *   - recall@10 vs brute force (must hold ≥ 0.8, same bar as OpsSpec).
   *
   * Usage: runMain graft.AnnBench   (GRAFT_ANN_N overrides the 1M default)
@@ -78,14 +78,6 @@ object AnnBench {
     Files.writeString(marker, sig)
   }
 
-  private final class BytesListener extends SparkListener {
-    val bytes = new java.util.concurrent.atomic.AtomicLong
-    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-      val m = e.taskMetrics
-      if (m != null) bytes.addAndGet(m.inputMetrics.bytesRead)
-    }
-  }
-
   private def dirBytes(p: Path): Long = {
     if (!Files.isDirectory(p)) return if (Files.exists(p)) Files.size(p) else 0L
     val s = Files.list(p)
@@ -95,21 +87,15 @@ object AnnBench {
     } finally s.close()
   }
 
-  /** (wall sec min-of-2, bytes read during the last rep) */
-  private def timed2(spark: SparkSession)(body: => Unit): (Double, Long) = {
+  /** wall sec, min of 2 reps */
+  private def timed2(body: => Unit): Double = {
     var best = Double.MaxValue
-    var bytes = 0L
     for (_ <- 1 to 2) {
-      val l = new BytesListener
-      spark.sparkContext.addSparkListener(l)
       val t0 = System.nanoTime()
       body
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.removeSparkListener(l)
-      if (sec < best) best = sec
-      bytes = l.bytes.get()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
     }
-    (best, bytes)
+    best
   }
 
   def main(args: Array[String]): Unit = {
@@ -140,12 +126,10 @@ object AnnBench {
     require(plan.contains("PartitionFilters"),
       s"probe scan must be partition-pruned:\n${plan.take(1200)}")
 
-    val (probeSec, probeBytes) = timed2(spark) {
-      Bench.force(Similarity.annIvfIndexed(spark, dir, indexDir, K, Probes, queryMod))
-    }
-    val (bruteSec, bruteBytes) = timed2(spark) {
-      Bench.force(Similarity.cosineTopK(spark, dir, queryMod))
-    }
+    val probeSec = timed2(
+      Bench.force(Similarity.annIvfIndexed(spark, dir, indexDir, K, Probes, queryMod)))
+    val bruteSec = timed2(
+      Bench.force(Similarity.cosineTopK(spark, dir, queryMod)))
 
     // recall@10 vs exact — collect both top-k tables (≤ 50 × 10 rows each)
     def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
@@ -169,7 +153,6 @@ object AnnBench {
       s"""{"metric":"ann_bench","n":$n,"dim":$Dim,"k":$K,"probes":$Probes,"rep":$Rep,""" +
         s""""queries":${exact.size},"gen_sec":${Fmt.f1(genSec)},"build_sec":${Fmt.f1(buildSec)},""" +
         s""""probe_sec":${Fmt.f2(probeSec)},"brute_sec":${Fmt.f2(bruteSec)},""" +
-        s""""probe_bytes_read":$probeBytes,"brute_bytes_read":$bruteBytes,""" +
         s""""index_bytes_total":$idxTotal,"index_bytes_probed":$idxProbed,""" +
         s""""probed_clusters":${probedSet.size},""" +
         s""""pruned_frac":${Fmt.f3(1.0 - idxProbed.toDouble / idxTotal)},""" +
@@ -181,13 +164,13 @@ object AnnBench {
     md ++= s"`Similarity.ensureIvfIndex` + `annIvfIndexed` on a deterministic synthetic\n"
     md ++= s"corpus (n=$n, dim=$Dim, $PlantedCenters planted centers + bounded noise),\n"
     md ++= s"k=$K clusters, $Probes probes, assignment replication $Rep, local[$cpus].\n"
-    md ++= "Bytes read are SparkListener inputMetrics over the whole query (the probe\n"
-    md ++= "path includes its router scan of the corpus); pruned-vs-total is the\n"
-    md ++= "on-disk size of the probed `cluster=` partitions vs the whole index.\n\n"
-    md ++= "| n | queries | build (s) | probe (s) | brute (s) | probe bytes read | brute bytes read | index probed/total bytes | pruned | recall@10 |\n"
-    md ++= "|---|---|---|---|---|---|---|---|---|---|\n"
+    md ++= "Pruned-vs-total is the on-disk size of the probed `cluster=` partitions vs\n"
+    md ++= "the whole index (the plan is asserted to carry PartitionFilters, so the\n"
+    md ++= "probe scan physically touches only those directories); the probe wall time\n"
+    md ++= "includes the router scan of the corpus for query vectors.\n\n"
+    md ++= "| n | queries | index build (s) | probe (s) | brute force (s) | index probed/total | pruned | recall@10 |\n"
+    md ++= "|---|---|---|---|---|---|---|---|\n"
     md ++= s"| $n | ${exact.size} | ${Fmt.f1(buildSec)} | ${Fmt.f2(probeSec)} | ${Fmt.f2(bruteSec)} " +
-      s"| ${probeBytes / 1048576} MiB | ${bruteBytes / 1048576} MiB " +
       s"| ${idxProbed / 1048576}/${idxTotal / 1048576} MiB " +
       s"| ${Fmt.f1(100 * (1.0 - idxProbed.toDouble / idxTotal))}% | ${Fmt.f3(recall)} |\n"
     md ++= s"\n- raw JSON: `$line`\n"

@@ -133,10 +133,32 @@ object Similarity {
     */
   private[ops] def topClustersLoop(emb: Array[Float], cents: Array[Array[Float]],
                                    rep: Int): Array[Int] = {
-    val s = new Array[Double](cents.length)
+    val raw = new Array[Double](cents.length)
     var k = 0
-    while (k < cents.length) { s(k) = round6(cosineLoop(emb, cents(k))); k += 1 }
-    Array.range(0, cents.length).sortBy(k => (-s(k), -k)).take(rep)
+    while (k < cents.length) { raw(k) = cosineLoop(emb, cents(k)); k += 1 }
+    // 6dp rounding moves a value by < 5e-7, so only clusters whose RAW score
+    // is within 1e-5 of the rep-th best can change the rounded top-rep set
+    // or order — round and sort just those few. (Both a BigDecimal per
+    // (row, cluster) and a boxed full sort per row were measured bottlenecks
+    // of the 1M-vector build: 128M setScale calls / 1M 128-way sorts per
+    // scan. This path is a branchy two-pass selection over a double array.)
+    val m = math.min(rep, raw.length)
+    val top = Array.fill(m)(Double.NegativeInfinity)
+    k = 0
+    while (k < raw.length) {
+      var v = raw(k)
+      var i = 0
+      while (i < m) {
+        if (v > top(i)) { val t = top(i); top(i) = v; v = t }
+        i += 1
+      }
+      k += 1
+    }
+    val thr = top(m - 1) - 1e-5
+    val cand = scala.collection.mutable.ArrayBuffer.empty[Int]
+    k = 0
+    while (k < raw.length) { if (raw(k) >= thr) cand += k; k += 1 }
+    cand.toArray.sortBy(k => (-round6(raw(k)), -k)).take(rep)
   }
 
   /** Seeded spherical k-means centroids. Assignment runs as a broadcast +
