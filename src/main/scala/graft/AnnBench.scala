@@ -123,8 +123,10 @@ object AnnBench {
     // probed partitions on disk: the same router the query path collects
     val probed = Similarity.annIvfIndexed(spark, dir, indexDir, K, Probes, queryMod)
     val plan = probed.queryExecution.executedPlan.toString
-    require(plan.contains("PartitionFilters"),
-      s"probe scan must be partition-pruned:\n${plan.take(1200)}")
+    // non-empty filter required: FileSourceScan prints "PartitionFilters: []"
+    // on an unpruned scan too, so a bare contains() would be vacuous
+    require(plan.contains("PartitionFilters: [cluster"),
+      s"probe scan must be partition-pruned on cluster:\n${plan.take(1200)}")
 
     val probeSec = timed2(
       Bench.force(Similarity.annIvfIndexed(spark, dir, indexDir, K, Probes, queryMod)))

@@ -99,14 +99,15 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $tag headline prep FAILED: ${e.getMessage}")
           failed = true
-      }
+      } finally if (docs != null) docs.unpersist() // each rep re-caches its own
 
     def rep(): Unit = if (!failed)
       try {
-        // the battery's clearCache() between queries UNREGISTERS the prepared
-        // docs cache (same CacheManager semantics as the slice cache) —
-        // re-register and materialize OUTSIDE the timed region so every rep
-        // times the pipeline, not input prep
+        // each rep caches + materializes ITS OWN corpus outside the timed
+        // region (the battery's clearCache() between queries unregisters any
+        // earlier registration anyway), and drops it again afterwards — so
+        // only one headline's docs occupy storage memory during any timed
+        // region, and the other headline/battery queries run cache-clean
         docs.cache()
         docs.count()
         val sampler = new LoadSampler(selfCpus)
@@ -121,7 +122,7 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $tag headline rep FAILED: ${e.getMessage}")
           failed = true
-      }
+      } finally docs.unpersist()
 
     def cleanup(): Unit = if (docs != null) docs.unpersist()
     def secOrSentinel: Double = if (failed || sec == Double.MaxValue) -1.0 else sec
@@ -223,7 +224,13 @@ object Bench {
               fut, scala.concurrent.duration.Duration(timeoutSec, "s"))
             catch {
               case _: java.util.concurrent.TimeoutException =>
-                spark.sparkContext.cancelJobGroup(group)
+                // AndFutureJobs: the abandoned worker thread may be between
+                // actions (a multi-job query) — plain cancelJobGroup would
+                // only kill the currently-active job and let the zombie keep
+                // burning cores / holding staging locks under later
+                // measurements; this poisons its subsequent jobs too, so the
+                // zombie dies at its next action
+                spark.sparkContext.cancelJobGroupAndFutureJobs(group)
                 System.err.println(s"[bench] $name TIMED OUT after ${timeoutSec}s")
                 failed += name
                 false
@@ -253,8 +260,12 @@ object Bench {
     primary.cleanup()
     secondary.cleanup()
     spark.catalog.clearCache()
+    // a later-pass failure (a contention-window timeout, say) must not throw
+    // away a valid earlier-pass measurement — report the best successful rep
+    // when one exists; `failed` still names the query, so the record shows
+    // the partial failure. -1 only when NO rep ever succeeded.
     val results = names.map { case (name, _) =>
-      name -> (if (failed.contains(name)) (-1.0, 0.0) else best(name))
+      name -> best.getOrElse(name, (-1.0, 0.0))
     }
 
     // ---- emission. Everything below MUST not throw away the measured run:

@@ -93,9 +93,7 @@ object Mentions {
   def detect(docs: Dataset[PyramidDoc], bcModel: Broadcast[Model]): Dataset[Mention] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val par = spark.sparkContext.defaultParallelism
-    val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    wide.mapPartitions { it =>
+    graft.core.SparkUtil.widen(docs).mapPartitions { it =>
       val m = bcModel.value
       val inf = new PyramidInference(m.weights, m.vocab)
       it.flatMap(doc => detectDoc(doc, inf, m.codec))
@@ -110,9 +108,7 @@ object Mentions {
                     bcVar: Broadcast[VariantWeights], mode: String): Dataset[Mention] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val par = spark.sparkContext.defaultParallelism
-    val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    wide.mapPartitions { it =>
+    graft.core.SparkUtil.widen(docs).mapPartitions { it =>
       val m = bcModel.value
       val inf = new PyramidInference(m.weights, m.vocab)
       val vi = new PyramidVariantInference(inf, bcVar.value)

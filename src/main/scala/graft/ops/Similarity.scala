@@ -135,7 +135,15 @@ object Similarity {
                                    rep: Int): Array[Int] = {
     val raw = new Array[Double](cents.length)
     var k = 0
-    while (k < cents.length) { raw(k) = cosineLoop(emb, cents(k)); k += 1 }
+    while (k < cents.length) {
+      val c = cosineLoop(emb, cents(k))
+      // NaN sorts GREATEST in Spark orderings (a corrupt embedding still gets
+      // assigned by the expression path) — mirror that with a sentinel above
+      // the cosine range instead of letting NaN fail every comparison below
+      // (which would select an empty candidate set and crash the caller)
+      raw(k) = if (java.lang.Double.isNaN(c)) 2.0 else c
+      k += 1
+    }
     // 6dp rounding moves a value by < 5e-7, so only clusters whose RAW score
     // is within 1e-5 of the rep-th best can change the rounded top-rep set
     // or order — round and sort just those few. (Both a BigDecimal per
@@ -234,13 +242,17 @@ object Similarity {
       // stage the CONVERGED index to the oracle-visible dir: the k-means
       // float iteration is not SQL-expressible, but given fixed centroids the
       // assignment → probe → exact-cosine re-rank IS — the DuckDB gate
-      // re-derives the full candidate set from this table (32 rows)
-      import spark.implicits._
-      spark.createDataset(cents.zipWithIndex.map { case (c, k) => (k, c) })
-        .toDF("cluster", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(graft.sources.ReaderStage.stageDir(sfDir)
-          .resolve("ivf_centroids.parquet").toString)
+      // re-derives the full candidate set from this table (32 rows).
+      // DEFAULT k only: the staged path is k-independent, so a bench-scale
+      // run with a custom k must not overwrite the table the default-k
+      // sim_ann_ivf* oracles read.
+      if (k == IvfClusters) {
+        spark.createDataset(cents.zipWithIndex.map { case (c, i) => (i, c) })
+          .toDF("cluster", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(graft.sources.ReaderStage.stageDir(sfDir)
+            .resolve("ivf_centroids.parquet").toString)
+      }
       cents
     })
 
