@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Fmt
+import graft.kg.GraphOps
+
+/** Graph-analytics scale benchmark: the sf corpora produce only ~10^3-entity
+  * graphs, so [[graft.kg.GraphOps]] gets its scale evidence the CcBench way —
+  * deterministic synthetic graphs with CLOSED-FORM PageRank, sized past
+  * anything the oracle gate reaches:
+  *
+  *   - **ring+chord** (every node → next and → node+7): out-degree == in-degree
+  *     == 2 everywhere, so PageRank is exactly uniform at every iteration —
+  *     rank_norm must be 1.0 on all n nodes. A 2n-edge regular graph with no
+  *     skew: the pure throughput row.
+  *   - **star** (hub ↔ every spoke): by symmetry all spokes share one rank, so
+  *     the whole graph reduces to a 2-variable scalar recurrence computed on
+  *     the driver — an exact expectation at ANY size. The hub's n in-edges are
+  *     the partial-agg skew case; its n out-edges are the join-side skew case.
+  *
+  * Correctness is asserted inline on every row (distinct-rank cardinality +
+  * value equality at the output's 4 dp). Usage: runMain graft.GraphBench
+  * (SPARK_GRAFT_CPUS to vary parallelism for the two-level scaling row).
+  */
+object GraphBench {
+
+  /** directed ring + a +7 chord: 2-regular in AND out → uniform PageRank. */
+  def ringChordTriples(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).selectExpr(
+      "format_string('n%010d', id) as subj",
+      s"array(format_string('n%010d', (id + 1) % $n)," +
+        s" format_string('n%010d', (id + 7) % $n)) as dsts")
+      .select(col("subj"), lit("co_occurs_with").as("pred"),
+        explode(col("dsts")).as("obj"))
+
+  /** hub ↔ spoke star: 2(n-1) edges, all spokes symmetric. */
+  def starTriples(spark: SparkSession, n: Long): DataFrame =
+    spark.range(1, n).selectExpr(s"format_string('n%010d', id) as spoke")
+      .selectExpr(
+        "array(named_struct('subj', spoke, 'obj', 'hub')," +
+          " named_struct('subj', 'hub', 'obj', spoke)) as es")
+      .select(explode(col("es")).as("e"))
+      .select(col("e.subj").as("subj"), lit("co_occurs_with").as("pred"),
+        col("e.obj").as("obj"))
+
+  /** the star graph's exact 2-variable recurrence (hub rank, spoke rank),
+    * UNROUNDED — the distributed side folds the hub's n-term contribution sum
+    * in partial-agg order, so the comparison is relative-tolerance, not the
+    * output's 4 dp (which is sub-ulp-noise-sized at rank_norm ~ 1e6). */
+  def starExpected(n: Long): (Double, Double) = {
+    val nd = n.toDouble
+    var h = 1.0 / nd
+    var s = 1.0 / nd
+    for (_ <- 1 to GraphOps.PrIters) {
+      val h2 = (1 - GraphOps.Damping) / nd + GraphOps.Damping * (nd - 1) * s
+      val s2 = (1 - GraphOps.Damping) / nd + GraphOps.Damping * h / (nd - 1)
+      h = h2; s = s2
+    }
+    (h * nd, s * nd)
+  }
+
+  final case class Row2(graph: String, nodes: Long, edges: Long,
+                        pagerankSec: Double, degreeSec: Double)
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-graph-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row2]
+
+    Seq(500000L, 2000000L, 5000000L).foreach { n =>
+      // ring+chord: uniform closed form
+      val ring = ringChordTriples(spark, n)
+      val (prDistinct, prSec) = timed {
+        GraphOps.pagerank(ring).select("rank_norm").distinct().collect()
+      }
+      require(prDistinct.length == 1 && prDistinct.head.getDouble(0) == 1.0,
+        s"ring n=$n: uniform closed form violated: ${prDistinct.mkString(",")}")
+      val (degAgg, degSec) = timed {
+        GraphOps.degrees(ring.union(
+          // degrees also wants mentioned_in rows; one per node keeps it regular
+          spark.range(n).selectExpr("format_string('n%010d', id) as subj",
+            "'mentioned_in' as pred", "format_string('d%010d', id) as obj")))
+          .agg(min("out_degree"), max("out_degree"), min("in_degree"),
+            max("in_degree"), count(lit(1))).collect().head
+      }
+      require(degAgg.getLong(0) == 2 && degAgg.getLong(1) == 2 &&
+        degAgg.getLong(2) == 2 && degAgg.getLong(3) == 2 && degAgg.getLong(4) == n,
+        s"ring n=$n: degree closed form violated: $degAgg")
+      rows += Row2(s"ring+chord", n, 2 * n, prSec, degSec)
+      spark.catalog.clearCache()
+
+      // star: scalar-recurrence closed form, hub skew by construction
+      val star = starTriples(spark, n)
+      val (hubSpoke, starSec) = timed {
+        GraphOps.pagerank(star)
+          .groupBy("rank_norm").agg(count(lit(1)).as("c"))
+          .orderBy(col("c")).collect()
+      }
+      val (expHub, expSpoke) = starExpected(n)
+      def close(a: Double, b: Double) = math.abs(a - b) <= 1e-6 * math.max(math.abs(b), 1.0)
+      require(hubSpoke.length == 2, s"star n=$n: expected 2 rank classes, got ${hubSpoke.length}")
+      require(close(hubSpoke(0).getDouble(0), expHub) && hubSpoke(0).getLong(1) == 1L,
+        s"star n=$n: hub rank ${hubSpoke(0)} != $expHub")
+      require(close(hubSpoke(1).getDouble(0), expSpoke) && hubSpoke(1).getLong(1) == n - 1,
+        s"star n=$n: spoke rank ${hubSpoke(1)} != $expSpoke")
+      rows += Row2("star(hub-skew)", n, 2 * (n - 1), starSec, -1.0)
+      spark.catalog.clearCache()
+    }
+
+    rows.foreach { r =>
+      println(s"""{"metric":"graph_bench","graph":"${r.graph}","nodes":${r.nodes},""" +
+        s""""edges":${r.edges},"cpus":$cpus,"pagerank_sec":${Fmt.f3(r.pagerankSec)}""" +
+        (if (r.degreeSec >= 0) s""","degree_sec":${Fmt.f3(r.degreeSec)}}""" else "}"))
+    }
+
+    val md = new StringBuilder
+    md ++= s"## GraphOps at scale — measured on local[$cpus] (regenerate: `runMain graft.GraphBench`)\n\n"
+    md ++= "PageRank (5 iters) + degree profile over synthetic graphs with closed-form\n"
+    md ++= "expectations, asserted on every row: ring+chord is 2-regular (uniform rank\n"
+    md ++= "exactly 1.0); the star collapses to a 2-variable scalar recurrence (hub's\n"
+    md ++= "n in-edges = partial-agg skew, n out-edges = join skew).\n\n"
+    md ++= "| graph | nodes | edges | pagerank (s) | degrees (s) |\n|---|---|---|---|---|\n"
+    rows.foreach { r =>
+      md ++= s"| ${r.graph} | ${r.nodes} | ${r.edges} | ${Fmt.f1(r.pagerankSec)} | " +
+        s"${if (r.degreeSec >= 0) Fmt.f1(r.degreeSec) else "—"} |\n"
+    }
+    Files.createDirectories(Paths.get("BENCH"))
+    val out = Paths.get(s"BENCH/GRAPH_BENCH_c$cpus.md")
+    Files.writeString(out, md.toString,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    spark.stop()
+  }
+}

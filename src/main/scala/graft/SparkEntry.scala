@@ -153,13 +153,23 @@ object SparkEntry {
     // (cross-bucket distinct). Equal by construction to the monolithic
     // pipeline's distinct triples, so the full-corpus sequential gold is its
     // value oracle; the staged run is corpus-signature-guarded.
-    "kg_triples_compacted" -> ((s, dir) => {
-      val _ = KgStage.stage(s, dir)
-      val out = graft.sources.ReaderStage.stageDir(dir).resolve("kgrun").toString
-      KgRunner.ensureRun(s, dir, out)
-      s.read.parquet(s"$out/triples_compacted")
-    }),
+    "kg_triples_compacted" -> ((s, dir) => compactedTriples(s, dir)),
+    // stage-5 graph analytics over the materialized triple table (read from
+    // the compacted staged run — value-equal to the sequential gold, so the
+    // gold_full_triples-derived oracles check the whole chain end-to-end)
+    "kg_degree" -> ((s, dir) => GraphOps.degrees(compactedTriples(s, dir))),
+    "kg_pagerank" -> ((s, dir) => GraphOps.pagerank(compactedTriples(s, dir))),
+    "kg_two_hop" -> ((s, dir) => GraphOps.twoHop(compactedTriples(s, dir))),
   )
+
+  /** the checkpointed bucketed run's global compaction output (staged once
+    * per corpus signature; see KgRunner.ensureRun). */
+  private def compactedTriples(s: SparkSession, dir: String): DataFrame = {
+    val _ = KgStage.stage(s, dir)
+    val out = graft.sources.ReaderStage.stageDir(dir).resolve("kgrun").toString
+    KgRunner.ensureRun(s, dir, out)
+    s.read.parquet(s"$out/triples_compacted")
+  }
 
   // ---------------------------------------------------------- relational
 
@@ -433,6 +443,9 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextOps.quality(s, dir)),
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
+    "text_repetition" -> ((s, dir) => TextOps.repetition(s, dir)),
+    "text_pii_scrub" -> ((s, dir) => TextOps.piiScrubQuery(s, dir)),
+    "dedup_windows" -> ((s, dir) => TextOps.windowDedup(s, dir)),
     // REAL decode paths throughout (r5): features + frame sampling run
     // ImageIO sequence decoding over staged multi-page TIFF payloads; resize
     // decodes staged PNGs and resamples actual pixels. Every oracle reads
@@ -688,6 +701,24 @@ object SparkEntry {
         |CAST(('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15)) AS BIGINT)
         |  AS fp60
         |FROM documents""".stripMargin,
+    "text_repetition" -> repetitionSql,
+    // positional expectation: the oracle reconstructs the redacted text by
+    // string assembly at the known doc_id-derived injection sites (NO regex),
+    // so the hash passes only if the Spark-side regex detection recovers the
+    // injection exactly
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS n_emails,
+        |  CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_phones,
+        |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n_ips,
+        |  md5(
+        |    CASE WHEN doc_id % 3 = 0 THEN '<EMAIL> ' ELSE '' END ||
+        |    substr(text, 1, len(text) // 2) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' <PHONE> ' ELSE '' END ||
+        |    substr(text, len(text) // 2 + 1) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' <IP>' ELSE '' END) AS redacted_md5
+        |FROM documents""".stripMargin,
+    "dedup_windows" -> windowDedupSql,
     // Source readers: DuckDB parses the SAME staged files the Spark readers
     // consume (the driver's gate always runs at sf0.01; StagePath matches).
     "src_rasa" ->
@@ -904,6 +935,9 @@ object SparkEntry {
     "kg_triples_compacted" ->
       s"""SELECT subj, pred, obj
          |FROM read_parquet('$KgPath/gold_full_triples.parquet/*.parquet')""".stripMargin,
+    "kg_degree" -> degreeSql,
+    "kg_pagerank" -> pagerankSql,
+    "kg_two_hop" -> twoHopSql,
     "kg_dict" -> s"WITH $dictCtes\nSELECT alias, entity_id, kind, prior FROM dict",
     "kg_canonical_map" -> canonicalSql,
     "eval_layers" ->
@@ -1183,4 +1217,92 @@ object SparkEntry {
        |       ELSE 'es' END AS pred_lang
        |FROM documents""".stripMargin
   }
+
+  // ------------------------------------------- graph-analytics oracles
+
+  private lazy val goldTriplesSrc =
+    s"read_parquet('$KgPath/gold_full_triples.parquet/*.parquet')"
+  private lazy val coEdgesCte =
+    s"SELECT subj AS src, obj AS dst FROM $goldTriplesSrc WHERE pred = 'co_occurs_with'"
+
+  private lazy val degreeSql =
+    s"""WITH e AS ($coEdgesCte),
+       |o AS (SELECT src AS entity_id, count(*) AS out_degree FROM e GROUP BY 1),
+       |i AS (SELECT dst AS entity_id, count(*) AS in_degree FROM e GROUP BY 1),
+       |d AS (SELECT subj AS entity_id, count(*) AS n_docs FROM $goldTriplesSrc
+       |  WHERE pred = 'mentioned_in' GROUP BY 1)
+       |SELECT entity_id, coalesce(out_degree, 0) AS out_degree,
+       |  coalesce(in_degree, 0) AS in_degree, coalesce(n_docs, 0) AS n_docs
+       |FROM d FULL JOIN o USING (entity_id) FULL JOIN i USING (entity_id)""".stripMargin
+
+  /** [[graft.kg.GraphOps.pagerank]]'s fixed-iteration recurrence unrolled as
+    * chained CTEs (r0 → r5), same dangling-mass-dropped formula. */
+  private lazy val pagerankSql: String = {
+    val d = GraphOps.Damping
+    val steps = (1 to GraphOps.PrIters).map { t =>
+      s"""r$t AS (
+         |  SELECT nd.id, (1 - $d) / (SELECT n FROM nn) + $d * coalesce(s.m, 0) AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.rank / dg.outdeg) AS m
+         |    FROM e JOIN r${t - 1} r ON e.src = r.id JOIN deg dg ON dg.src = e.src
+         |    GROUP BY 1) s USING (id))""".stripMargin
+    }
+    s"""WITH e AS ($coEdgesCte),
+       |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+       |${steps.mkString(",\n")}
+       |SELECT id AS entity_id, round(rank * (SELECT n FROM nn), 4) AS rank_norm
+       |FROM r${GraphOps.PrIters}""".stripMargin
+  }
+
+  private lazy val twoHopSql =
+    s"""WITH e AS ($coEdgesCte),
+       |hubs AS (SELECT src AS entity_id, count(*) AS out_degree FROM e GROUP BY 1
+       |  ORDER BY out_degree DESC, entity_id LIMIT ${GraphOps.TopHubs}),
+       |pairs AS (SELECT DISTINCT h.entity_id, h.out_degree, e2.dst AS nbr2
+       |  FROM hubs h JOIN e e1 ON e1.src = h.entity_id
+       |  LEFT JOIN e e2 ON e2.src = e1.dst)
+       |SELECT entity_id, out_degree, count(nbr2) AS n_two_hop
+       |FROM pairs GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------- text-pipeline oracles
+
+  private lazy val repetitionSql: String = {
+    def gramCte(name: String, k: Int) =
+      s"""$name AS (
+         |  SELECT doc_id, array_to_string(toks[i+1:i+$k], ' ') AS gram, count(*) AS c
+         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+         |       LATERAL (SELECT unnest(generate_series(0, len(toks) - $k)) AS i)
+         |  WHERE len(toks) >= $k GROUP BY 1, 2)""".stripMargin
+    s"""WITH ${gramCte("g2", 2)},
+       |t2 AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max2, CAST(sum(c) AS BIGINT) AS n2
+       |  FROM g2 GROUP BY 1),
+       |${gramCte("g3", 3)},
+       |d3 AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup3,
+       |  CAST(sum(c) AS BIGINT) AS n3 FROM g3 GROUP BY 1)
+       |SELECT b.doc_id, coalesce(n2, 0) AS n_2grams,
+       |  round(coalesce(CAST(max2 AS DOUBLE) / n2, 0), 6) AS top_2gram_frac,
+       |  coalesce(n3, 0) AS n_3grams,
+       |  round(coalesce(CAST(dup3 AS DOUBLE) / n3, 0), 6) AS dup_3gram_frac
+       |FROM documents b LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)""".stripMargin
+  }
+
+  private lazy val windowDedupSql =
+    s"""WITH wins AS (
+       |  SELECT doc_id, array_to_string(toks[i+1:i+${TextOps.WinLen}], ' ') AS win
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(0, len(toks) - ${TextOps.WinLen},
+       |         ${TextOps.WinStride})) AS i)
+       |  WHERE len(toks) >= ${TextOps.WinLen}),
+       |df AS (SELECT win, count(*) AS docfreq
+       |  FROM (SELECT DISTINCT doc_id, win FROM wins) GROUP BY 1),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |  CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+       |  FROM wins JOIN df USING (win) GROUP BY 1)
+       |SELECT b.doc_id, coalesce(n_windows, 0) AS n_windows,
+       |  coalesce(n_dup_windows, 0) AS n_dup_windows,
+       |  round(coalesce(CAST(n_dup_windows AS DOUBLE) / n_windows, 0), 6) AS dup_win_frac
+       |FROM documents b LEFT JOIN pd USING (doc_id)""".stripMargin
 }

@@ -1,0 +1,118 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage 5 — graph analytics over the materialized (subj, pred, obj) triple
+  * table: the consumers the north rule's "graph materialize" step exists to
+  * feed. The reference pipeline stops at span/triple emission; a KG user's
+  * first queries against the materialized graph are degree profiles, a
+  * centrality ranking, and hub neighborhood reach — so those ship as
+  * first-class, oracle-gated operators here.
+  *
+  * Scale notes (100 TB / billions of triples):
+  *  - the triple table is distinct by construction (salted two-phase
+  *    distinct in [[Triples.fromCanonical]]), so `co_occurs_with` rows ARE a
+  *    deduplicated edge list — no re-distinct here.
+  *  - degree profiles are pure two-phase hash aggregations (map-side partial
+  *    combine bounds what a hot entity ships across the exchange).
+  *  - PageRank is the classic edge-list contribution loop: edges are
+  *    persisted and joined by `src` each iteration; the per-destination sum
+  *    is a partial-aggregated groupBy, so hub in-degree skew combines
+  *    map-side. Hot-`src` join skew (one hub's million edges in one task) is
+  *    inherent to edge-list PR; at cluster scale the rank side is one row
+  *    per key, so AQE skew-join splitting applies cleanly.
+  *  - two-hop reach is bounded to the top-[[GraphOps.TopHubs]] hubs
+  *    (deterministic tie-break), so the quadratic second hop never fans out
+  *    from every node; the hub list is driver-sized and broadcast.
+  */
+object GraphOps {
+  /** PageRank damping factor (Brin & Page 1998's standard 0.85). */
+  val Damping = 0.85
+  /** fixed iteration count — keeps the op deterministic and lets the DuckDB
+    * oracle unroll the recurrence as chained CTEs. */
+  val PrIters = 5
+  /** hub budget for the two-hop reach query. */
+  val TopHubs = 20
+
+  /** entity→entity edge list: the `co_occurs_with` predicate of the triple
+    * table. Distinct by construction (see class doc). */
+  def coEdges(triples: DataFrame): DataFrame =
+    triples.where(col("pred") === "co_occurs_with")
+      .select(col("subj").as("src"), col("obj").as("dst"))
+
+  /** Per-entity degree profile over the materialized graph: co-occurrence
+    * out/in degree plus document frequency (`mentioned_in` fan-out). Three
+    * partial-aggregated counts full-outer-joined on the entity key; every
+    * canonical entity appears (mentioned_in covers all of them).
+    */
+  def degrees(triples: DataFrame): DataFrame = {
+    val e = coEdges(triples)
+    val out = e.groupBy(col("src").as("entity_id")).agg(count(lit(1)).as("out_degree"))
+    val in = e.groupBy(col("dst").as("entity_id")).agg(count(lit(1)).as("in_degree"))
+    val docs = triples.where(col("pred") === "mentioned_in")
+      .groupBy(col("subj").as("entity_id")).agg(count(lit(1)).as("n_docs"))
+    docs.join(out, Seq("entity_id"), "full_outer")
+      .join(in, Seq("entity_id"), "full_outer")
+      .select(col("entity_id"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
+  /** Directed PageRank over the co-occurrence graph, [[PrIters]] fixed
+    * iterations at damping [[Damping]], dangling mass dropped (the standard
+    * simplification — matches the unrolled oracle recurrence exactly):
+    *
+    *   r_{t+1}(v) = (1-d)/N + d * sum over edges u→v of r_t(u)/outdeg(u)
+    *
+    * Output is rank normalized to mean 1 (`rank * N`) rounded to 4 dp —
+    * O(1)-magnitude values keep the float rounding far above the ~1e-12
+    * summation-order noise between Spark and the oracle engine.
+    */
+  def pagerank(triples: DataFrame): DataFrame = {
+    val e = coEdges(triples)
+    // both loop-invariant tables are persisted ALREADY PARTITIONED on their
+    // join keys: every iteration's SMJ/HashJoin reads the cached exchange
+    // instead of re-shuffling the (large) edge table five times — the rank
+    // side is the only per-iteration shuffle, and it's one row per node
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .repartition(col("id")).persist()
+    val n = nodes.count().toDouble
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edges = e.join(deg, "src").repartition(col("src")).persist()
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges.join(ranks, edges("src") === ranks("id"))
+        .select(edges("dst").as("id"), (col("rank") / col("outdeg")).as("m"))
+        .groupBy("id").agg(sum("m").as("m"))
+      ranks = nodes.join(contrib, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit((1 - Damping) / n) + lit(Damping) * coalesce(col("m"), lit(0.0))).as("rank"))
+    }
+    ranks.select(col("id").as("entity_id"), round(col("rank") * n, 4).as("rank_norm"))
+  }
+
+  /** Distinct two-hop out-neighbor count for the top-[[TopHubs]] hubs by
+    * co-occurrence out-degree (ties broken by entity id, so the hub set is
+    * deterministic). The second hop LEFT-joins so a hub whose neighbors are
+    * all sinks still reports `n_two_hop = 0`; `count(col)` skips the null
+    * rows such a hub contributes. Distinct-pairs-then-count keeps the
+    * dedup two-phase instead of a per-group distinct aggregate.
+    */
+  def twoHop(triples: DataFrame): DataFrame = {
+    val e = coEdges(triples)
+    val hubs = e.groupBy(col("src").as("entity_id")).agg(count(lit(1)).as("out_degree"))
+      .orderBy(col("out_degree").desc, col("entity_id")).limit(TopHubs)
+    val second = e.select(col("src").as("mid"), col("dst").as("nbr2"))
+    broadcast(hubs)
+      .join(e, hubs("entity_id") === e("src"))
+      .select(col("entity_id"), col("out_degree"), col("dst").as("mid"))
+      .join(second, Seq("mid"), "left_outer")
+      .select(col("entity_id"), col("out_degree"), col("nbr2"))
+      .distinct()
+      .groupBy("entity_id", "out_degree")
+      .agg(count(col("nbr2")).as("n_two_hop"))
+  }
+}

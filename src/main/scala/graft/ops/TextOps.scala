@@ -80,4 +80,151 @@ object TextOps {
       md5(norm).as("fingerprint"),
       conv(substring(md5(norm), 1, 15), 16, 10).cast("long").as("fp60"))
   }
+
+  // ---------------------------------------------------- repetition signals
+
+  /** Gopher-style (Rae et al. 2021, table A1) within-document repetition
+    * signals: the fraction of 2-gram occurrences taken by the single most
+    * frequent 2-gram, and the fraction of 3-gram occurrences whose gram
+    * repeats (count ≥ 2) within the doc. High values flag boilerplate /
+    * degenerate documents for quality filtering.
+    *
+    * Shape: per-doc n-gram counting as explode → groupBy(doc_id, gram) →
+    * per-doc combine. Both shuffles are keyed by (doc_id, gram) / doc_id —
+    * uniform at any corpus size; partial aggregation bounds what a repeated
+    * gram ships. Docs shorter than the gram order report 0 via the LEFT
+    * join from the base table (the `size(toks) >= k` guards also keep
+    * Spark's descending `sequence(0, -1)` corner out of the plan).
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docsDf(spark, sfDir).select(col("doc_id"), toks.as("toks"))
+    def gramCounts(k: Int): DataFrame =
+      base.where(size(col("toks")) >= k)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(toks) - $k), i -> " +
+            (0 until k).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") +
+            ")"
+        )).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val top2 = gramCounts(2).groupBy("doc_id")
+      .agg(max("c").as("max2"), sum("c").as("n2"))
+    val dup3 = gramCounts(3).groupBy("doc_id")
+      .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup3"),
+        sum("c").as("n3"))
+    base.select(col("doc_id"))
+      .join(top2, Seq("doc_id"), "left_outer")
+      .join(dup3, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n2"), lit(0L)).as("n_2grams"),
+        round(coalesce(col("max2").cast("double") / col("n2"), lit(0.0)), 6)
+          .as("top_2gram_frac"),
+        coalesce(col("n3"), lit(0L)).as("n_3grams"),
+        round(coalesce(col("dup3").cast("double") / col("n3"), lit(0.0)), 6)
+          .as("dup_3gram_frac"))
+  }
+
+  // ------------------------------------------------- window-level dedup
+
+  /** token-window width / stride for [[windowDedup]]. */
+  val WinLen = 8
+  val WinStride = 4
+
+  /** RefinedWeb-style (Penedo et al. 2023 §3's line-dedup analogue — this
+    * corpus has no newlines, so the unit is an overlapping token window):
+    * per-document coverage by GLOBALLY duplicated 8-token windows, i.e.
+    * windows whose exact text occurs in ≥ 2 distinct documents. Documents
+    * with high `dup_win_frac` are near-duplicates or quote farms.
+    *
+    * Scale: the global doc-frequency count runs over DISTINCT (doc, window)
+    * pairs — the pair key spreads a hot window's rows across reducers — and
+    * the per-window count that follows is a partial-aggregated groupBy on
+    * the window hash. The join back to per-doc windows is keyed by the
+    * window hash (uniform); a pathologically hot window (one string in
+    * millions of docs) is AQE skew-split, mirroring Dedup.MaxShingleDf's
+    * treatment of hot shingles.
+    */
+  def windowDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docsDf(spark, sfDir).select(col("doc_id"), toks.as("toks"))
+    val wins = base.where(size(col("toks")) >= WinLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $WinLen, $WinStride), i -> " +
+          s"concat_ws(' ', slice(toks, i + 1, $WinLen)))")).as("win"))
+    val df = wins.select(col("doc_id"), col("win")).distinct()
+      .groupBy("win").agg(count(lit(1)).as("docfreq"))
+    val perDoc = wins.join(df, Seq("win"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("docfreq") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows").cast("double") / col("n_windows"),
+          lit(0.0)), 6).as("dup_win_frac"))
+  }
+
+  // ----------------------------------------------------------- PII scrub
+
+  /** detection patterns (java.util.regex, evaluated only on the Spark side —
+    * the oracle never runs a regex, it reconstructs the expected redaction
+    * positionally, so a detection bug breaks the value hash). */
+  val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]{2,4}"
+  val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** doc_id-seeded synthetic PII columns, shared by the injector and the
+    * oracle's positional expectation (all derived from doc_id arithmetic).
+    */
+  private def piiEmail: Column =
+    concat(lit("user"), col("doc_id"), lit("@ex"), pmod(col("doc_id"), lit(7)), lit(".com"))
+  private def piiPhone: Column =
+    concat((pmod(col("doc_id"), lit(900)) + 100).cast("string"), lit("-555-"),
+      (pmod(col("doc_id"), lit(9000)) + 1000).cast("string"))
+  private def piiIp: Column =
+    concat(lit("10."), pmod(col("doc_id"), lit(256)), lit("."),
+      pmod(col("doc_id"), lit(100)), lit("."), pmod(col("doc_id"), lit(250)))
+
+  /** Deterministic dirty-corpus generator: injects a doc_id-derived email at
+    * the head (doc_id % 3 == 0), a phone at the midpoint character split
+    * (doc_id % 4 == 0), and an IPv4 at the tail (doc_id % 5 == 0). The base
+    * corpus is pure lowercase alpha + space (verified), so injected strings
+    * are the ONLY regex matches and the positional oracle is exact.
+    */
+  def injectPii(docs: DataFrame): DataFrame = {
+    val mid = floor(length(col("text")) / 2).cast("int")
+    val withEmail = col("doc_id") % 3 === 0
+    val withPhone = col("doc_id") % 4 === 0
+    val withIp = col("doc_id") % 5 === 0
+    docs.select(col("doc_id"), concat(
+      when(withEmail, concat(piiEmail, lit(" "))).otherwise(lit("")),
+      col("text").substr(lit(1), mid),
+      when(withPhone, concat(lit(" "), piiPhone, lit(" "))).otherwise(lit("")),
+      col("text").substr(mid + 1, length(col("text"))),
+      when(withIp, concat(lit(" "), piiIp)).otherwise(lit(""))).as("text"))
+  }
+
+  /** Generic PII scrubber: regex counts + redaction to typed placeholders.
+    * Pure codegen'd `regexp_extract_all` / `regexp_replace` — one projection
+    * over the corpus, no shuffle, no UDF. Order matters: emails first (their
+    * local part could otherwise be clipped by the IP pattern's digit runs),
+    * then IPs, then phones.
+    */
+  def piiScrub(dirty: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          IpRe, "<IP>"),
+        PhoneRe, "<PHONE>")
+    dirty.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(IpRe), lit(0))).as("n_ips"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** query entry: scrub the deterministic dirty corpus. */
+  def piiScrubQuery(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrub(injectPii(docsDf(spark, sfDir)))
 }

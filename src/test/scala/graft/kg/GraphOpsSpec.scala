@@ -1,0 +1,78 @@
+package graft.kg
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph-analytics semantics vs a dependency-free driver-side re-derivation
+  * on a hand-built triple table (the driver's DuckDB oracle covers the same
+  * ops over the full staged corpus; this pins the formulas on a graph small
+  * enough to reason about, including the corner rows the corpus may lack:
+  * sink hubs, entities with no edges, dangling-mass drop).
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graphops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // a → b, a → c, b → c, c → a ; entity z has docs but NO co-occurrence edges
+  private val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+  private def triplesDf = {
+    import spark.implicits._
+    val co = edges.map { case (s, o) => (s, "co_occurs_with", o) }
+    val docs = Seq(("a", "mentioned_in", "d1"), ("a", "mentioned_in", "d2"),
+      ("b", "mentioned_in", "d1"), ("c", "mentioned_in", "d3"),
+      ("z", "mentioned_in", "d9"))
+    val kinds = Seq(("a", "instance_of", "k1")) // must be ignored by the graph ops
+    (co ++ docs ++ kinds).toDF("subj", "pred", "obj")
+  }
+
+  test("degrees: out/in/doc counts with zero-fill for edgeless entities") {
+    val got = GraphOps.degrees(triplesDf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "a" -> ((2L, 1L, 2L)),
+      "b" -> ((1L, 1L, 1L)),
+      "c" -> ((1L, 2L, 1L)),
+      "z" -> ((0L, 0L, 1L))))
+  }
+
+  test("pagerank: matches the unrolled recurrence, dangling mass dropped") {
+    // driver-side re-derivation of the exact formula
+    val nodes = edges.flatMap { case (s, o) => Seq(s, o) }.distinct.sorted
+    val n = nodes.size.toDouble
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to GraphOps.PrIters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => rank(u) / outdeg(u) }.sum).toMap
+      rank = nodes.map(v =>
+        v -> ((1 - GraphOps.Damping) / n + GraphOps.Damping * contrib.getOrElse(v, 0.0))).toMap
+    }
+    val expect = rank.map { case (v, r) =>
+      v -> BigDecimal(r * n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = GraphOps.pagerank(triplesDf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == expect)
+    // rank mass stays below 1 (dangling drop cannot inflate it)
+    assert(rank.values.sum <= 1.0 + 1e-9)
+  }
+
+  test("two-hop: distinct reach per hub, sinks report zero") {
+    import spark.implicits._
+    // add a hub whose only neighbor is a sink: s → t, t has no out-edges
+    val tri = triplesDf.union(Seq(
+      ("s", "co_occurs_with", "t"), ("s", "mentioned_in", "d4")).toDF("subj", "pred", "obj"))
+    val adj = (edges :+ ("s" -> "t")).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = adj.map { case (h, nbrs) =>
+      (h, nbrs.size.toLong, nbrs.flatMap(m => adj.getOrElse(m, Set.empty)).size.toLong)
+    }.toSet
+    val got = GraphOps.twoHop(tri).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got.exists { case (h, _, two) => h == "s" && two == 0L }) // sink hub
+  }
+}

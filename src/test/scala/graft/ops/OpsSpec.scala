@@ -424,4 +424,92 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(feats == stagedN, "decoded frame counts must equal staged pre-encode counts")
   }
+
+  test("repetition signals match a plain-Scala n-gram recount on real docs") {
+    val spark0 = spark
+    val docs = spark0.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def recount(text: String): (Long, Double, Long, Double) = {
+      val toks = text.split("\\s+")
+      def grams(k: Int) = toks.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+      val g2 = grams(2).groupBy(identity).view.mapValues(_.size).toMap
+      val g3 = grams(3).groupBy(identity).view.mapValues(_.size).toMap
+      val n2 = g2.values.sum.toLong
+      val n3 = g3.values.sum.toLong
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n2, if (n2 == 0) 0.0 else r6(g2.values.max.toDouble / n2),
+        n3, if (n3 == 0) 0.0 else r6(g3.values.filter(_ >= 2).sum.toDouble / n3))
+    }
+    val got = TextOps.repetition(spark0, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == docs.keySet)
+    got.foreach { case (id, row) =>
+      val (n2, top2, n3, dup3) = recount(docs(id))
+      assert(row == ((n2, top2, n3, dup3)), s"doc $id")
+    }
+  }
+
+  test("window dedup: global doc-frequency recount agrees; windows tile at the stride") {
+    val spark0 = spark
+    val docs = spark0.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def windows(text: String): Seq[String] = {
+      val toks = text.split("\\s+")
+      (0 to toks.length - TextOps.WinLen by TextOps.WinStride)
+        .map(i => toks.slice(i, i + TextOps.WinLen).mkString(" "))
+    }
+    val docFreq = docs.toSeq.flatMap { case (id, t) => windows(t).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val got = TextOps.windowDedup(spark0, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == docs.keySet)
+    got.foreach { case (id, (nw, nd, frac)) =>
+      val ws = windows(docs(id))
+      val dup = ws.count(w => docFreq(w) >= 2).toLong
+      val expFrac = if (ws.isEmpty) 0.0
+        else BigDecimal(dup.toDouble / ws.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert((nw, nd, frac) == ((ws.size.toLong, dup, expFrac)), s"doc $id")
+    }
+  }
+
+  test("PII scrub: regex redaction reproduces the positional expectation exactly") {
+    import spark.implicits._
+    // doc ids chosen to hit every injection combination: 60 = all three,
+    // 3 = email only, 4 = phone only, 5 = ip only, 12 = email+phone,
+    // 15 = email+ip, 20 = phone+ip, 1 = clean
+    val ids = Seq(60L, 3L, 4L, 5L, 12L, 15L, 20L, 1L)
+    val base = ids.map(id => (id, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    def expected(id: Long): (Int, Int, Int, String) = {
+      val text = "alpha beta gamma delta epsilon"
+      val mid = text.length / 2
+      val e = if (id % 3 == 0) 1 else 0
+      val p = if (id % 4 == 0) 1 else 0
+      val i = if (id % 5 == 0) 1 else 0
+      val red = (if (e == 1) "<EMAIL> " else "") + text.substring(0, mid) +
+        (if (p == 1) " <PHONE> " else "") + text.substring(mid) +
+        (if (i == 1) " <IP>" else "")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(red.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (e, p, i, md5)
+    }
+    val got = TextOps.piiScrub(TextOps.injectPii(base)).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    ids.foreach { id =>
+      val (e, p, i, md5) = expected(id)
+      assert(got(id) == ((e, p, i, md5)), s"doc $id")
+    }
+    // the scrubber is idempotent: placeholders contain nothing re-matchable
+    val twice = TextOps.piiScrub(
+      TextOps.injectPii(base).select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          TextOps.EmailRe, "<EMAIL>"), TextOps.IpRe, "<IP>"),
+          TextOps.PhoneRe, "<PHONE>").as("text"))).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(twice.forall(_ == ((0, 0, 0))), "no PII survives a scrub")
+  }
 }
