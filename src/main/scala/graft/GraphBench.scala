@@ -62,12 +62,56 @@ object GraphBench {
   }
 
   final case class Row2(graph: String, nodes: Long, edges: Long,
-                        pagerankSec: Double, degreeSec: Double)
+                        pagerankSec: Double, degreeSec: Double,
+                        prLoad: Double, degLoad: Double)
 
   private def timed[A](body: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = body
     (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** same external-contention signal as Bench/ScalingBench: 1-min host load
+    * minus this JVM's cores, sampled every 2 s DURING the timed region. */
+  private def externalLoad(selfCpus: Double): Double = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    math.max(0.0, os.getSystemLoadAverage - selfCpus)
+  }
+
+  private final class LoadSampler(selfCpus: Double) {
+    @volatile private var maxLoad = externalLoad(selfCpus)
+    @volatile private var running = true
+    private val t = new Thread(() => {
+      while (running) {
+        maxLoad = math.max(maxLoad, externalLoad(selfCpus))
+        try Thread.sleep(2000) catch { case _: InterruptedException => () }
+      }
+    }, "graph-bench-load-sampler")
+    t.setDaemon(true)
+    t.start()
+    def stop(): Double = {
+      running = false
+      t.interrupt()
+      math.max(maxLoad, externalLoad(selfCpus))
+    }
+  }
+
+  /** min wall across 2 reps (host has noisy neighbors: a single-rep row once
+    * recorded 149 s for a run whose twin measured 21.6 s), with the winning
+    * rep's sampled external load so a polluted pair is machine-flaggable.
+    */
+  private def measure[A](spark: SparkSession, selfCpus: Double)(body: => A): (A, Double, Double) = {
+    var best = Double.MaxValue
+    var bestLoad = 0.0
+    var res: Option[A] = None
+    for (_ <- 1 to 2) {
+      spark.catalog.clearCache()
+      val sampler = new LoadSampler(selfCpus)
+      val (a, sec) = timed(body)
+      val load = sampler.stop()
+      if (sec < best) { best = sec; bestLoad = load; res = Some(a) }
+    }
+    (res.get, best, bestLoad)
   }
 
   def main(args: Array[String]): Unit = {
@@ -84,15 +128,26 @@ object GraphBench {
 
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row2]
 
-    Seq(500000L, 2000000L, 5000000L).foreach { n =>
+    // unmeasured warmup: the first PageRank run pays ~5x codegen/JIT warmup
+    // (measured: 115 s for a ring the steady state runs in <10 s), which
+    // would misattribute compiler time to the smallest measured row
+    GraphOps.pagerank(ringChordTriples(spark, 100000L)).count()
+    spark.catalog.clearCache()
+
+    val selfCpus = cpus.toDouble
+    val sizes = sys.env.get("SPARK_GRAFT_GRAPH_NODES")
+      .map(_.split(",").toSeq.map(_.trim.toLong))
+      .getOrElse(Seq(500000L, 2000000L, 5000000L))
+
+    sizes.foreach { n =>
       // ring+chord: uniform closed form
       val ring = ringChordTriples(spark, n)
-      val (prDistinct, prSec) = timed {
+      val (prDistinct, prSec, prLoad) = measure(spark, selfCpus) {
         GraphOps.pagerank(ring).select("rank_norm").distinct().collect()
       }
       require(prDistinct.length == 1 && prDistinct.head.getDouble(0) == 1.0,
         s"ring n=$n: uniform closed form violated: ${prDistinct.mkString(",")}")
-      val (degAgg, degSec) = timed {
+      val (degAgg, degSec, degLoad) = measure(spark, selfCpus) {
         GraphOps.degrees(ring.union(
           // degrees also wants mentioned_in rows; one per node keeps it regular
           spark.range(n).selectExpr("format_string('n%010d', id) as subj",
@@ -103,31 +158,35 @@ object GraphBench {
       require(degAgg.getLong(0) == 2 && degAgg.getLong(1) == 2 &&
         degAgg.getLong(2) == 2 && degAgg.getLong(3) == 2 && degAgg.getLong(4) == n,
         s"ring n=$n: degree closed form violated: $degAgg")
-      rows += Row2(s"ring+chord", n, 2 * n, prSec, degSec)
-      spark.catalog.clearCache()
+      rows += Row2(s"ring+chord", n, 2 * n, prSec, degSec, prLoad, degLoad)
 
       // star: scalar-recurrence closed form, hub skew by construction
       val star = starTriples(spark, n)
-      val (hubSpoke, starSec) = timed {
+      val (hubSpoke, starSec, starLoad) = measure(spark, selfCpus) {
         GraphOps.pagerank(star)
           .groupBy("rank_norm").agg(count(lit(1)).as("c"))
           .orderBy(col("c")).collect()
       }
       val (expHub, expSpoke) = starExpected(n)
-      def close(a: Double, b: Double) = math.abs(a - b) <= 1e-6 * math.max(math.abs(b), 1.0)
+      // the op rounds rank_norm to 4 dp, so one rounding step (1e-4) is the
+      // tolerance floor; 1e-6 relative covers the hub's large-magnitude sum
+      def close(a: Double, b: Double) =
+        math.abs(a - b) <= math.max(1.01e-4, 1e-6 * math.abs(b))
       require(hubSpoke.length == 2, s"star n=$n: expected 2 rank classes, got ${hubSpoke.length}")
       require(close(hubSpoke(0).getDouble(0), expHub) && hubSpoke(0).getLong(1) == 1L,
         s"star n=$n: hub rank ${hubSpoke(0)} != $expHub")
       require(close(hubSpoke(1).getDouble(0), expSpoke) && hubSpoke(1).getLong(1) == n - 1,
         s"star n=$n: spoke rank ${hubSpoke(1)} != $expSpoke")
-      rows += Row2("star(hub-skew)", n, 2 * (n - 1), starSec, -1.0)
-      spark.catalog.clearCache()
+      rows += Row2("star(hub-skew)", n, 2 * (n - 1), starSec, -1.0, starLoad, 0.0)
     }
 
     rows.foreach { r =>
       println(s"""{"metric":"graph_bench","graph":"${r.graph}","nodes":${r.nodes},""" +
         s""""edges":${r.edges},"cpus":$cpus,"pagerank_sec":${Fmt.f3(r.pagerankSec)}""" +
-        (if (r.degreeSec >= 0) s""","degree_sec":${Fmt.f3(r.degreeSec)}}""" else "}"))
+        s""","pr_ext_load":${Fmt.f2(r.prLoad)}""" +
+        (if (r.degreeSec >= 0)
+          s""","degree_sec":${Fmt.f3(r.degreeSec)},"deg_ext_load":${Fmt.f2(r.degLoad)}}"""
+        else "}"))
     }
 
     val md = new StringBuilder
@@ -135,11 +194,14 @@ object GraphBench {
     md ++= "PageRank (5 iters) + degree profile over synthetic graphs with closed-form\n"
     md ++= "expectations, asserted on every row: ring+chord is 2-regular (uniform rank\n"
     md ++= "exactly 1.0); the star collapses to a 2-variable scalar recurrence (hub's\n"
-    md ++= "n in-edges = partial-agg skew, n out-edges = join skew).\n\n"
-    md ++= "| graph | nodes | edges | pagerank (s) | degrees (s) |\n|---|---|---|---|---|\n"
+    md ++= "n in-edges = partial-agg skew, n out-edges = join skew). Wall times are the\n"
+    md ++= "min of 2 reps; ext_load is the max 2 s-sampled external host load during\n"
+    md ++= "the winning rep (nonzero = contaminated window).\n\n"
+    md ++= "| graph | nodes | edges | pagerank (s) | pr ext_load | degrees (s) | deg ext_load |\n|---|---|---|---|---|---|---|\n"
     rows.foreach { r =>
       md ++= s"| ${r.graph} | ${r.nodes} | ${r.edges} | ${Fmt.f1(r.pagerankSec)} | " +
-        s"${if (r.degreeSec >= 0) Fmt.f1(r.degreeSec) else "—"} |\n"
+        s"${Fmt.f2(r.prLoad)} | " +
+        s"${if (r.degreeSec >= 0) s"${Fmt.f1(r.degreeSec)} | ${Fmt.f2(r.degLoad)}" else "— | —"} |\n"
     }
     Files.createDirectories(Paths.get("BENCH"))
     val out = Paths.get(s"BENCH/GRAPH_BENCH_c$cpus.md")

@@ -137,11 +137,13 @@ object TextOps {
     *
     * Scale: the global doc-frequency count runs over DISTINCT (doc, window)
     * pairs — the pair key spreads a hot window's rows across reducers — and
-    * the per-window count that follows is a partial-aggregated groupBy on
-    * the window hash. The join back to per-doc windows is keyed by the
-    * window hash (uniform); a pathologically hot window (one string in
+    * the per-window count that follows is a partial-aggregated groupBy. The
+    * join back to per-doc windows is keyed by the window text (hashed by the
+    * partitioner — uniform); a pathologically hot window (one string in
     * millions of docs) is AQE skew-split, mirroring Dedup.MaxShingleDf's
-    * treatment of hot shingles.
+    * treatment of hot shingles. At petabyte scale you'd pre-hash the window
+    * to a 64-bit key to cut shuffle bytes; the oracle-gated op keeps the
+    * exact string so duplicated-window semantics stay collision-free.
     */
   def windowDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val base = docsDf(spark, sfDir).select(col("doc_id"), toks.as("toks"))
