@@ -79,6 +79,7 @@ object Bench {
                                spark: SparkSession, sfDir: String, selfCpus: Double) {
     var sec: Double = Double.MaxValue
     var load: Double = 0.0
+    var steal: Double = 0.0
     var triples: Long = -1L
     var docsN: Long = -1L
     var tokens: Long = -1L
@@ -111,13 +112,15 @@ object Bench {
         docs.cache()
         docs.count()
         val sampler = new LoadSampler(selfCpus)
+        val st0 = graft.core.StealProbe.snapshot()
         val h = Triples.pipelineHandle(docs, model)
         val (_, s) = time(force(h.triples))
         val l = sampler.stop()
+        val st = graft.core.StealProbe.pct(st0, graft.core.StealProbe.snapshot())
         val t = h.triples.count() // cached subtrees — count is cheap
         h.unpersistAll()
         repSecs += s
-        if (s < sec) { sec = s; load = l; triples = t }
+        if (s < sec) { sec = s; load = l; steal = st; triples = t }
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $tag headline rep FAILED: ${e.getMessage}")
@@ -132,11 +135,12 @@ object Bench {
     def json(cfgName: String): String =
       s"""{"cfg":"$cfgName","sec":${t2(secOrSentinel)},"triples":$triples,""" +
         s""""docs":$docsN,"tokens":$tokens,"amp":$amp,"load":${t1(load)},""" +
-        s""""tps":${perSec(triples)},"toks":${perSec(tokens)}}"""
+        s""""steal":${t1(steal)},"tps":${perSec(triples)},"toks":${perSec(tokens)}}"""
     /** full-precision object for the sidecar file */
     def jsonFull(cfgName: String): String =
       s"""{"cfg":"$cfgName","sec":$secOrSentinel,"rep_secs":[${repSecs.mkString(",")}],""" +
         s""""triples":$triples,"docs":$docsN,"tokens":$tokens,"amp":$amp,"load":$load,""" +
+        s""""steal":$steal,""" +
         s""""tps":${if (secOrSentinel > 0) triples / secOrSentinel else -1.0},""" +
         s""""toks":${if (secOrSentinel > 0) tokens / secOrSentinel else -1.0}}"""
   }
@@ -197,7 +201,8 @@ object Bench {
       scala.concurrent.ExecutionContext.global
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // per query: (best sec, ext_load of the best rep)
-    val best = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    // name -> (best sec, ext load at best, steal% at best)
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // the two headlines join the interleaving (one rep per battery pass)
     val primaryCfg = if (cfgName == "genia") ModelConfig.genia else ModelConfig()
     val secondaryName = if (cfgName == "genia") "default" else "genia"
@@ -210,6 +215,7 @@ object Bench {
       names.foreach { case (name, fn) =>
         if (!failed.contains(name)) {
           val load0 = externalLoad(selfCpus)
+          val st0 = graft.core.StealProbe.snapshot()
           val group = s"bench-$name"
           val (ok, sec) = time {
             // the attempt runs under a cancellable job group on a worker
@@ -241,12 +247,13 @@ object Bench {
             }
           }
           val extLoad = (load0 + externalLoad(selfCpus)) / 2
+          val steal = graft.core.StealProbe.pct(st0, graft.core.StealProbe.snapshot())
           // several operators persist intermediates they legitimately reuse
           // within one query (jaccard shingles, simhash bands, slice docs);
           // drop them between queries so storage-memory pressure from query
           // k doesn't tax query k+1
           spark.catalog.clearCache()
-          if (ok && best.get(name).forall(_._1 > sec)) best(name) = (sec, extLoad)
+          if (ok && best.get(name).forall(_._1 > sec)) best(name) = (sec, extLoad, steal)
         }
       }
       // headline rep at the tail of each battery pass — prep once (before
@@ -265,42 +272,54 @@ object Bench {
     // when one exists; `failed` still names the query, so the record shows
     // the partial failure. -1 only when NO rep ever succeeded.
     val results = names.map { case (name, _) =>
-      name -> best.getOrElse(name, (-1.0, 0.0))
+      name -> best.getOrElse(name, (-1.0, 0.0, 0.0))
     }
 
     // ---- emission. Everything below MUST not throw away the measured run:
     // each stage is fenced so a formatting/IO failure still prints the line.
     val sfName = new java.io.File(sfDir).getName
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + t2(v) }
+    // 1 dp in the size-bounded line (2 dp pushed a 77-query line to 1985 B
+    // against the driver's ~2000 B window); full precision in the sidecar
+    val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + t1(v) }
       .mkString("{", ",", "}")
-    // per-query load annotations: top-3 NONZERO only (the full map lives in
-    // the sidecar file) — on a quiet window this is {} and costs 9 bytes
+    // per-query load/steal annotations: top-3 NONZERO only (the full maps
+    // live in the sidecar file) — on a quiet window these are {} (9 B each)
     val hot = results.filter(_._2._2 > 0.05).sortBy(-_._2._2).take(3)
-      .map { case (k, (_, l)) => "\"" + k + "\":" + t1(l) }
+      .map { case (k, (_, l, _)) => "\"" + k + "\":" + t1(l) }
+      .mkString("{", ",", "}")
+    val hotSteal = results.filter(_._2._3 > 0.5).sortBy(-_._2._3).take(3)
+      .map { case (k, (_, _, s)) => "\"" + k + "\":" + t1(s) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum + math.max(primary.secOrSentinel, 0)
-    val line =
+    def assemble(hotJs: String, stealJs: String) =
       s"""{"metric":"total","value":${t1(total)},"unit":"sec","sf":"$sfName",""" +
         s""""failed":$failedJson,"reps":$reps,"prep":${t1(stageSec)},""" +
         s""""kg":${primary.json(cfgName)},"kg2":${secondary.json(secondaryName)},""" +
-        s""""hot":$hot,"queries":$qs}"""
+        s""""hot":$hotJs,"steal":$stealJs,"queries":$qs}"""
+    // the driver tail-captures ~2000 B: on a dirty window the hot/steal
+    // annotation maps can push the line past it, so shrink progressively —
+    // the annotations live in full in the sidecar, the queries map does not
+    val line = Seq(assemble(hot, hotSteal), assemble("{}", hotSteal), assemble("{}", "{}"))
+      .find(_.length <= 1990).getOrElse(assemble("{}", "{}"))
     if (line.length > 1990)
       System.err.println(s"[bench] WARNING: result line ${line.length} B exceeds the " +
         "driver's ~2000 B tail window; per-query timings may truncate")
     // full-precision sidecar (not size-bounded): every per-query ext_load,
     // per-rep headline seconds — best-effort, never blocks the line
     try {
-      val fullQs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+      val fullQs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val fullLoads = results.map { case (k, (_, l)) => "\"" + k + "\":" + l }
+      val fullLoads = results.map { case (k, (_, l, _)) => "\"" + k + "\":" + l }
+        .mkString("{", ",", "}")
+      val fullSteal = results.map { case (k, (_, _, s)) => "\"" + k + "\":" + s }
         .mkString("{", ",", "}")
       val full =
         s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
           s""""cpus":$cpus,"failed":$failedJson,"reps":$reps,"prep":$stageSec,""" +
           s""""timeout_sec":$timeoutSec,"kg":${primary.jsonFull(cfgName)},""" +
           s""""kg2":${secondary.jsonFull(secondaryName)},""" +
-          s""""ext_load":$fullLoads,"queries":$fullQs}"""
+          s""""ext_load":$fullLoads,"steal":$fullSteal,"queries":$fullQs}"""
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("GRAFT_BENCH_FULL_OUT", "BENCH/last_bench_full.json"))
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)

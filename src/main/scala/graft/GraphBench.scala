@@ -107,8 +107,14 @@ object GraphBench {
     for (_ <- 1 to 2) {
       spark.catalog.clearCache()
       val sampler = new LoadSampler(selfCpus)
+      val st0 = graft.core.StealProbe.snapshot()
       val (a, sec) = timed(body)
-      val load = sampler.stop()
+      val load = math.max(sampler.stop(),
+        // hypervisor steal is contention the guest loadavg can't see; fold
+        // the stolen-core count into the same ext-load scale (steal% of the
+        // box's cores) so one number flags both kinds of dirty window
+        graft.core.StealProbe.pct(st0, graft.core.StealProbe.snapshot()) / 100.0 *
+          Runtime.getRuntime.availableProcessors())
       if (sec < best) { best = sec; bestLoad = load; res = Some(a) }
     }
     (res.get, best, bestLoad)
