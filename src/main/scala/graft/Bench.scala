@@ -31,37 +31,11 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** 1-min host load average minus this JVM's own cores — the same external
-    * contention signal ScalingBench records, so a noise-polluted battery row
-    * is machine-flaggable from the JSON alone.
-    */
-  private def externalLoad(selfCpus: Double): Double = {
-    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    math.max(0.0, os.getSystemLoadAverage - selfCpus)
-  }
-
-  /** Samples external load every 2 s DURING a timed region and reports the
-    * max — endpoint-only sampling missed the r4 genia burst entirely (84.8 s
-    * recorded with ext_load 0.0 because the 1-min loadavg endpoints straddled
-    * the contention window).
-    */
-  private final class LoadSampler(selfCpus: Double) {
-    @volatile private var maxLoad = externalLoad(selfCpus)
-    @volatile private var running = true
-    private val t = new Thread(() => {
-      while (running) {
-        maxLoad = math.max(maxLoad, externalLoad(selfCpus))
-        try Thread.sleep(2000) catch { case _: InterruptedException => () }
-      }
-    }, "bench-load-sampler")
-    t.setDaemon(true)
-    t.start()
-    def stop(): Double = {
-      running = false
-      t.interrupt()
-      math.max(maxLoad, externalLoad(selfCpus))
-    }
-  }
+  // external-contention instrumentation lives in graft.core.LoadProbe
+  // (shared with ScalingBench/GraphBench) + graft.core.StealProbe
+  private def externalLoad(selfCpus: Double): Double =
+    graft.core.LoadProbe.externalLoad(selfCpus)
+  private type LoadSampler = graft.core.LoadProbe.Sampler
 
   /** "12.30" -> "12.3", "1.00" -> "1" — JSON numbers, minimum bytes. */
   private def trim(s: String): String =

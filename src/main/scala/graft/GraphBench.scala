@@ -26,14 +26,19 @@ import graft.kg.GraphOps
   */
 object GraphBench {
 
-  /** directed ring + a +7 chord: 2-regular in AND out → uniform PageRank. */
-  def ringChordTriples(spark: SparkSession, n: Long): DataFrame =
+  /** directed ring + a +7 chord: 2-regular in AND out → uniform PageRank.
+    * n must exceed the chord stride: at n == 7 the chord is a self-loop and
+    * at n <= 6 it collides with ring edges, silently producing a multigraph
+    * that still passes the uniform-rank check. */
+  def ringChordTriples(spark: SparkSession, n: Long): DataFrame = {
+    require(n > 7, s"ring+chord needs n > 7 (chord stride), got $n")
     spark.range(n).selectExpr(
       "format_string('n%010d', id) as subj",
       s"array(format_string('n%010d', (id + 1) % $n)," +
         s" format_string('n%010d', (id + 7) % $n)) as dsts")
       .select(col("subj"), lit("co_occurs_with").as("pred"),
         explode(col("dsts")).as("obj"))
+  }
 
   /** hub ↔ spoke star: 2(n-1) edges, all spokes symmetric. */
   def starTriples(spark: SparkSession, n: Long): DataFrame =
@@ -71,34 +76,13 @@ object GraphBench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** same external-contention signal as Bench/ScalingBench: 1-min host load
-    * minus this JVM's cores, sampled every 2 s DURING the timed region. */
-  private def externalLoad(selfCpus: Double): Double = {
-    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    math.max(0.0, os.getSystemLoadAverage - selfCpus)
-  }
-
-  private final class LoadSampler(selfCpus: Double) {
-    @volatile private var maxLoad = externalLoad(selfCpus)
-    @volatile private var running = true
-    private val t = new Thread(() => {
-      while (running) {
-        maxLoad = math.max(maxLoad, externalLoad(selfCpus))
-        try Thread.sleep(2000) catch { case _: InterruptedException => () }
-      }
-    }, "graph-bench-load-sampler")
-    t.setDaemon(true)
-    t.start()
-    def stop(): Double = {
-      running = false
-      t.interrupt()
-      math.max(maxLoad, externalLoad(selfCpus))
-    }
-  }
-
   /** min wall across 2 reps (host has noisy neighbors: a single-rep row once
     * recorded 149 s for a run whose twin measured 21.6 s), with the winning
-    * rep's sampled external load so a polluted pair is machine-flaggable.
+    * rep's contention reading so a polluted pair is machine-flaggable. The
+    * reading is max(sampled loadavg-based external load, hypervisor steal
+    * converted to stolen CORES of this JVM's requested parallelism) — both
+    * on the cores scale, covering the two distinct noise sources (other
+    * processes on this host; other guests of the hypervisor).
     */
   private def measure[A](spark: SparkSession, selfCpus: Double)(body: => A): (A, Double, Double) = {
     var best = Double.MaxValue
@@ -106,15 +90,11 @@ object GraphBench {
     var res: Option[A] = None
     for (_ <- 1 to 2) {
       spark.catalog.clearCache()
-      val sampler = new LoadSampler(selfCpus)
+      val sampler = new graft.core.LoadProbe.Sampler(selfCpus)
       val st0 = graft.core.StealProbe.snapshot()
       val (a, sec) = timed(body)
       val load = math.max(sampler.stop(),
-        // hypervisor steal is contention the guest loadavg can't see; fold
-        // the stolen-core count into the same ext-load scale (steal% of the
-        // box's cores) so one number flags both kinds of dirty window
-        graft.core.StealProbe.pct(st0, graft.core.StealProbe.snapshot()) / 100.0 *
-          Runtime.getRuntime.availableProcessors())
+        graft.core.StealProbe.pct(st0, graft.core.StealProbe.snapshot()) / 100.0 * selfCpus)
       if (sec < best) { best = sec; bestLoad = load; res = Some(a) }
     }
     (res.get, best, bestLoad)
@@ -201,8 +181,9 @@ object GraphBench {
     md ++= "expectations, asserted on every row: ring+chord is 2-regular (uniform rank\n"
     md ++= "exactly 1.0); the star collapses to a 2-variable scalar recurrence (hub's\n"
     md ++= "n in-edges = partial-agg skew, n out-edges = join skew). Wall times are the\n"
-    md ++= "min of 2 reps; ext_load is the max 2 s-sampled external host load during\n"
-    md ++= "the winning rep (nonzero = contaminated window).\n\n"
+    md ++= "min of 2 reps; ext_load is the winning rep's contention reading —\n"
+    md ++= "max(2 s-sampled loadavg external load, hypervisor steal% converted to\n"
+    md ++= "stolen cores of this JVM's parallelism) — nonzero = contaminated window.\n\n"
     md ++= "| graph | nodes | edges | pagerank (s) | pr ext_load | degrees (s) | deg ext_load |\n|---|---|---|---|---|---|---|\n"
     rows.foreach { r =>
       md ++= s"| ${r.graph} | ${r.nodes} | ${r.edges} | ${Fmt.f1(r.pagerankSec)} | " +

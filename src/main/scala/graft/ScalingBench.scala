@@ -20,17 +20,17 @@ object ScalingBench {
 
   final case class Level(cpus: Int, bestSec: Double, triples: Long, tokens: Long,
                          triplesPerSec: Double, tokensPerSec: Double,
-                         extLoad: Double, cpuUtil: Double, calibPerThread: Double)
+                         extLoad: Double, cpuUtil: Double, calibPerThread: Double,
+                         stealPct: Double = 0.0)
 
   /** 1-min host load average minus this JVM's own running threads — the
     * sandbox host has noisy neighbors (external load 10-20 at times), which
     * silently poisons the 4N wall-clock level while leaving the N level
     * untouched; record it so a contended run is visible in the report.
+    * Shared implementation: [[graft.core.LoadProbe]].
     */
-  private def externalLoad(selfCpus: Double): Double = {
-    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    math.max(0.0, os.getSystemLoadAverage - selfCpus)
-  }
+  private def externalLoad(selfCpus: Double): Double =
+    graft.core.LoadProbe.externalLoad(selfCpus)
 
   private def processCpuSec(): Double = {
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -58,9 +58,11 @@ object ScalingBench {
       var triples = 0L
       var loadSum = 0.0
       var cpuSum = 0.0
+      var stealSum = 0.0
       val times = (0 to reps).map { i => // rep 0 = warm-up, excluded
         val load0 = externalLoad(cpus)
         val cpu0 = processCpuSec()
+        val st0 = graft.core.StealProbe.snapshot()
         val t0 = System.nanoTime()
         val h = Triples.pipelineHandle(docs, model)
         h.triples.write.format("noop").mode("overwrite").save()
@@ -70,6 +72,10 @@ object ScalingBench {
         if (i > 0) {
           loadSum += (load0 + externalLoad(cpus)) / 2
           cpuSum += (processCpuSec() - cpu0) / sec / cpus // fraction of cpus actually obtained
+          // hypervisor steal: the contention loadavg can NOT see (another
+          // guest) — the round-5b batteries measured 2-3x wall spread at
+          // ext_load 0.0 that /proc/stat steal flagged plainly
+          stealSum += graft.core.StealProbe.pct(st0, graft.core.StealProbe.snapshot())
         }
         sec
       }.drop(1).sorted
@@ -86,7 +92,7 @@ object ScalingBench {
       // throughput (run after the Spark reps, same JVM, warm JIT)
       val calib = InferCalib.perThread(cpus, cfg = cfg, vocabSize = model.vocab.size)
       Level(cpus, best, triples, tokens, triples / best, tokens / best,
-        loadSum / reps, cpuSum / reps, calib)
+        loadSum / reps, cpuSum / reps, calib, stealSum / reps)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
@@ -120,6 +126,7 @@ object ScalingBench {
         s""""n4_cpus":${hi.cpus},"triples_per_sec_4N":${hi.triplesPerSec},""" +
         s""""wall_sec_4N":${hi.bestSec},""" +
         s""""ext_load_N":${Fmt.f1(lo.extLoad)},"ext_load_4N":${Fmt.f1(hi.extLoad)},""" +
+        s""""steal_pct_N":${Fmt.f1(lo.stealPct)},"steal_pct_4N":${Fmt.f1(hi.stealPct)},""" +
         s""""cpu_util_N":${Fmt.f3(lo.cpuUtil)},"cpu_util_4N":${Fmt.f3(hi.cpuUtil)},""" +
         s""""calib_per_thread_N":${Fmt.f0(lo.calibPerThread)},""" +
         s""""calib_per_thread_4N":${Fmt.f0(hi.calibPerThread)},""" +
@@ -135,10 +142,10 @@ object ScalingBench {
          |executors per the driver instruction). Minimum of $reps runs (least-contended
          |sample on a shared host — see ScalingBench.runLevel), warm-up excluded.
          |
-         || level | cores | wall (s) | triples/s | tokens/s | ext. host load | cpu util |
-         ||---|---|---|---|---|---|---|
-         || N | ${lo.cpus} | ${Fmt.f2(lo.bestSec)} | ${Fmt.f0(lo.triplesPerSec)} | ${Fmt.f0(lo.tokensPerSec)} | ${Fmt.f1(lo.extLoad)} | ${Fmt.f2(lo.cpuUtil)} |
-         || 4N | ${hi.cpus} | ${Fmt.f2(hi.bestSec)} | ${Fmt.f0(hi.triplesPerSec)} | ${Fmt.f0(hi.tokensPerSec)} | ${Fmt.f1(hi.extLoad)} | ${Fmt.f2(hi.cpuUtil)} |
+         || level | cores | wall (s) | triples/s | tokens/s | ext. host load | steal % | cpu util |
+         ||---|---|---|---|---|---|---|---|
+         || N | ${lo.cpus} | ${Fmt.f2(lo.bestSec)} | ${Fmt.f0(lo.triplesPerSec)} | ${Fmt.f0(lo.tokensPerSec)} | ${Fmt.f1(lo.extLoad)} | ${Fmt.f1(lo.stealPct)} | ${Fmt.f2(lo.cpuUtil)} |
+         || 4N | ${hi.cpus} | ${Fmt.f2(hi.bestSec)} | ${Fmt.f0(hi.triplesPerSec)} | ${Fmt.f0(hi.tokensPerSec)} | ${Fmt.f1(hi.extLoad)} | ${Fmt.f1(hi.stealPct)} | ${Fmt.f2(hi.cpuUtil)} |
          |
          |- corpus: `$sfDir/documents.parquet` deterministically amplified ×$amplify
          |  (${lo.tokens} text tokens; ${lo.triples} distinct-triple rows)
@@ -155,11 +162,18 @@ object ScalingBench {
          |- **ceiling-normalized (software) scaling efficiency =
          |  ${Fmt.f3(efficiency)} / ${Fmt.f3(hwCeiling)} = ${Fmt.f3(swEfficiency)}** — the
          |  job-structure component (shuffles, barriers, stragglers, fixed
-         |  stages), i.e. what transfers to a multi-machine cluster.
+         |  stages), i.e. what transfers to a multi-machine cluster. A value
+         |  above 1 is unphysical (a coordinated job cannot out-scale a
+         |  zero-coordination one) and means the CEILING calibration itself
+         |  caught a contended window — treat the raw row as the binding read
+         |  and the normalized figure as diagnostic only.
          |- ext. host load = 1-min loadavg minus this JVM's cores (sandbox host
          |  has noisy neighbors; external load ≳ a few cores contends the 4N
          |  level and deflates measured efficiency — compare cpu util: the
          |  fraction of requested cores the JVM actually obtained)
+         |- steal % = hypervisor CPU steal over the timed reps (/proc/stat):
+         |  contention from another GUEST, invisible to loadavg — a nonzero
+         |  value flags a window the other two signals would call quiet
          |- JSON: `$json`
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))

@@ -19,7 +19,11 @@ object StealProbe {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
         val v = src.getLines().next().split("\\s+").drop(1).map(_.toLong)
-        Snap(if (v.length > 7) v(7) else 0L, v.sum)
+        // total = first 8 fields only (user nice system idle iowait irq
+        // softirq steal): the kernel folds guest/guest_nice (fields 9-10)
+        // into user already, so summing them would double-count guest time
+        // and deflate the reported steal% on a VM-hosting box
+        Snap(if (v.length > 7) v(7) else 0L, v.take(8).sum)
       } finally src.close()
     } catch { case _: Throwable => Snap(0L, 0L) }
 

@@ -91,7 +91,18 @@ object GraphOps {
         .select(col("id"),
           (lit((1 - Damping) / n) + lit(Damping) * coalesce(col("m"), lit(0.0))).as("rank"))
     }
-    ranks.select(col("id").as("entity_id"), round(col("rank") * n, 4).as("rank_norm"))
+    val out = ranks
+      .select(col("id").as("entity_id"), round(col("rank") * n, 4).as("rank_norm"))
+      .persist()
+    // materialize the (one-row-per-node) result eagerly so the two LARGE
+    // loop-invariant caches can be released before returning — otherwise a
+    // long session that never clears the SQL cache keeps the full edge table
+    // pinned in storage memory for every later query. The caller may
+    // unpersist the returned Dataset when done (clearCache also works).
+    out.count()
+    nodes.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** Distinct two-hop out-neighbor count for the top-[[TopHubs]] hubs by
