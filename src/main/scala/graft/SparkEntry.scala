@@ -160,6 +160,8 @@ object SparkEntry {
     "kg_degree" -> ((s, dir) => GraphOps.degrees(compactedTriples(s, dir))),
     "kg_pagerank" -> ((s, dir) => GraphOps.pagerank(compactedTriples(s, dir))),
     "kg_two_hop" -> ((s, dir) => GraphOps.twoHop(compactedTriples(s, dir))),
+    "kg_triangles" -> ((s, dir) => GraphOps.triangles(compactedTriples(s, dir))),
+    "kg_components" -> ((s, dir) => GraphOps.components(compactedTriples(s, dir))),
   )
 
   /** the checkpointed bucketed run's global compaction output (staged once
@@ -938,6 +940,8 @@ object SparkEntry {
     "kg_degree" -> degreeSql,
     "kg_pagerank" -> pagerankSql,
     "kg_two_hop" -> twoHopSql,
+    "kg_triangles" -> trianglesSql,
+    "kg_components" -> componentsSql,
     "kg_dict" -> s"WITH $dictCtes\nSELECT alias, entity_id, kind, prior FROM dict",
     "kg_canonical_map" -> canonicalSql,
     "eval_layers" ->
@@ -1266,6 +1270,38 @@ object SparkEntry {
        |  LEFT JOIN e e2 ON e2.src = e1.dst)
        |SELECT entity_id, out_degree, count(nbr2) AS n_two_hop
        |FROM pairs GROUP BY 1, 2""".stripMargin
+
+  /** naive lexicographic a<b<c three-way self-join — deliberately a
+    * DIFFERENT algorithm from [[graft.kg.GraphOps.triangles]]'s
+    * degree-ordered orientation; per-entity counts are
+    * orientation-independent so the two must agree exactly. */
+  private lazy val trianglesSql =
+    s"""WITH e AS ($coEdgesCte),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |v AS (SELECT x AS entity_id FROM tri
+       |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       |SELECT entity_id, count(*) AS n_triangles FROM v GROUP BY 1""".stripMargin
+
+  /** min-label reachability via a recursive CTE: every (node, reachable
+    * node) pair within a component, min per node = the component's minimum
+    * entity id — [[graft.kg.GraphOps.components]]'s exact contract, computed
+    * by exhaustive reachability instead of star contraction / union-find. */
+  private lazy val componentsSql =
+    s"""WITH RECURSIVE e AS ($coEdgesCte),
+       |sym AS (SELECT src, dst FROM e WHERE src <> dst
+       |  UNION SELECT dst, src FROM e WHERE src <> dst),
+       |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+       |r(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.dst, r.lab FROM r JOIN sym s ON s.src = r.id),
+       |comp AS (SELECT id AS entity_id, min(lab) AS component_id FROM r GROUP BY 1),
+       |sz AS (SELECT component_id, count(*) AS comp_size FROM comp GROUP BY 1)
+       |SELECT entity_id, component_id, comp_size FROM comp JOIN sz USING (component_id)""".stripMargin
 
   // --------------------------------------------- text-pipeline oracles
 

@@ -112,6 +112,95 @@ object GraphOps {
     * rows such a hub contributes. Distinct-pairs-then-count keeps the
     * dedup two-phase instead of a per-group distinct aggregate.
     */
+  /** Per-entity triangle participation count over the UNDIRECTED
+    * co-occurrence graph (a standard cohesion signal; the denominator of
+    * local clustering coefficients).
+    *
+    * Algorithm: degree-ordered edge orientation (Cohen 2009 / the standard
+    * MapReduce triangle recipe) — orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one, enumerate wedges at each
+    * node's out-neighbors, and close them against the oriented edge list.
+    * Orientation bounds oriented out-degree by O(sqrt(m)) on any graph, so
+    * the wedge fan-out a hot hub would generate under naive enumeration
+    * (deg² pairs) collapses to the theoretical minimum; all three steps are
+    * equi-joins/aggregations (AQE-splittable, map-side combinable). The
+    * DuckDB oracle counts the same triangles via the naive lexicographic
+    * a<b<c three-way join — a genuinely different algorithm that must land
+    * the identical per-entity counts (triangle counts are
+    * orientation-independent).
+    */
+  def triangles(triples: DataFrame): DataFrame = {
+    val e = coEdges(triples)
+    // persisted multi-use inputs (und feeds deg + the orientation join;
+    // oriented feeds both wedge sides + the closing-edge probe), so each is
+    // computed exactly once by construction instead of leaning on runtime
+    // exchange reuse; both are released before returning — same
+    // materialize-output-then-unpersist lifetime as [[pagerank]]
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().persist()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // u → w with (deg,id)(u) < (deg,id)(w); carry w's key for wedge ordering
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("w"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dw")).persist()
+    val e1 = oriented.select(col("u"), col("w").as("v"), col("dw").as("dv"))
+    val e2 = oriented.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+    val wedges = e1.join(e2, Seq("u"))
+      .where(col("dv") < col("dx") || (col("dv") === col("dx") && col("v") < col("x")))
+      .select(col("u"), col("v"), col("x"))
+    // the closing edge {v,x} is oriented v → x by construction (v precedes x
+    // in the same total order the wedge filter used)
+    val closing = oriented.select(col("u").as("v"), col("w").as("x"))
+    val out = wedges.join(closing, Seq("v", "x"))
+      .select(explode(array(col("u"), col("v"), col("x"))).as("entity_id"))
+      .groupBy("entity_id").agg(count(lit(1)).as("n_triangles"))
+      .persist()
+    out.count()
+    und.unpersist()
+    oriented.unpersist()
+    out
+  }
+
+  /** Connected components of the co-occurrence graph: every node labeled
+    * with its component's minimum entity id plus the component size — the
+    * "what clusters does the KG decompose into" query, and the generic CC
+    * surface [[Canonical.connectedComponents]] already provides for entity
+    * canonicalization (driver union-find below the measured crossover,
+    * O(log n) alternating-star loop above it; see CC_BENCH.md). Self-loops
+    * drop inside the CC kernel; nodes whose only edges were self-loops still
+    * appear, as singleton components via the coalesce. The size join is one
+    * row per component — broadcast-or-shuffle is left to AQE (component
+    * count is data-dependent: near-singleton fragmentation keeps it large).
+    */
+  def components(triples: DataFrame): DataFrame = {
+    val e = coEdges(triples)
+    val cc = Canonical.connectedComponents(e)
+    val nodes = e.select(col("src").as("entity_id"))
+      .unionAll(e.select(col("dst").as("entity_id"))).distinct()
+    // labeled feeds both the size aggregate and the final join — persist so
+    // the CC map applies once; released after the (node-sized) output
+    // materializes, mirroring [[pagerank]]'s cache lifetime
+    val labeled = nodes.join(cc, Seq("entity_id"), "left_outer")
+      .select(col("entity_id"),
+        coalesce(col("canonical_id"), col("entity_id")).as("component_id"))
+      .persist()
+    val sizes = labeled.groupBy("component_id").agg(count(lit(1)).as("comp_size"))
+    val out = labeled.join(sizes, "component_id")
+      .select(col("entity_id"), col("component_id"), col("comp_size"))
+      .persist()
+    out.count()
+    labeled.unpersist()
+    out
+  }
+
   def twoHop(triples: DataFrame): DataFrame = {
     val e = coEdges(triples)
     val hubs = e.groupBy(col("src").as("entity_id")).agg(count(lit(1)).as("out_degree"))

@@ -61,6 +61,35 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rank.values.sum <= 1.0 + 1e-9)
   }
 
+  test("triangles: per-entity counts, direction/duplication-insensitive") {
+    import spark.implicits._
+    // base triangle a-b-c (c→a closes it); add d-a, d-b (second triangle
+    // a-b-d), a reverse-duplicate edge b→a (must not double-count), a
+    // self-loop e→e (must be ignored), and a pendant edge c→f (no triangle)
+    val extra = Seq(("d", "a"), ("d", "b"), ("b", "a"), ("e", "e"), ("c", "f"))
+    val tri = triplesDf.union(
+      extra.map { case (s, o) => (s, "co_occurs_with", o) }.toDF("subj", "pred", "obj"))
+    val got = GraphOps.triangles(tri).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // triangles: {a,b,c} and {a,b,d}
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+  }
+
+  test("components: min-id labels and sizes; self-loop-only node is a singleton") {
+    import spark.implicits._
+    // component 1: a,b,c (the base edges); component 2: x-y; z2 has only a
+    // self-loop → singleton; entity z (docs only, no co-edges) must NOT appear
+    val extra = Seq(("x", "y"), ("z2", "z2"))
+    val tri = triplesDf.union(
+      extra.map { case (s, o) => (s, "co_occurs_with", o) }.toDF("subj", "pred", "obj"))
+    val got = GraphOps.components(tri).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("a", "a", 3L), ("b", "a", 3L), ("c", "a", 3L),
+      ("x", "x", 2L), ("y", "x", 2L),
+      ("z2", "z2", 1L)))
+  }
+
   test("two-hop: distinct reach per hub, sinks report zero") {
     import spark.implicits._
     // add a hub whose only neighbor is a sink: s → t, t has no out-edges
