@@ -256,6 +256,12 @@ object Bench {
     // against the driver's ~2000 B window); full precision in the sidecar
     val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + t1(v) }
       .mkString("{", ",", "}")
+    // last-resort variant: whole-second query times (a 79-entry 1 dp map puts
+    // the line at ~1984 B — one 100 s query or a failed-list entry would
+    // overflow; integer secs buy ~150 B of slack, full precision is in the
+    // sidecar either way)
+    val qs0 = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + math.round(v) }
+      .mkString("{", ",", "}")
     // per-query load/steal annotations: top-3 NONZERO only (the full maps
     // live in the sidecar file) — on a quiet window these are {} (9 B each)
     val hot = results.filter(_._2._2 > 0.05).sortBy(-_._2._2).take(3)
@@ -266,16 +272,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum + math.max(primary.secOrSentinel, 0)
-    def assemble(hotJs: String, stealJs: String) =
+    def assemble(hotJs: String, stealJs: String, qsJs: String = qs) =
       s"""{"metric":"total","value":${t1(total)},"unit":"sec","sf":"$sfName",""" +
         s""""failed":$failedJson,"reps":$reps,"prep":${t1(stageSec)},""" +
         s""""kg":${primary.json(cfgName)},"kg2":${secondary.json(secondaryName)},""" +
-        s""""hot":$hotJs,"steal":$stealJs,"queries":$qs}"""
+        s""""hot":$hotJs,"steal":$stealJs,"queries":$qsJs}"""
     // the driver tail-captures ~2000 B: on a dirty window the hot/steal
     // annotation maps can push the line past it, so shrink progressively —
-    // the annotations live in full in the sidecar, the queries map does not
-    val line = Seq(assemble(hot, hotSteal), assemble("{}", hotSteal), assemble("{}", "{}"))
-      .find(_.length <= 1990).getOrElse(assemble("{}", "{}"))
+    // the annotations live in full in the sidecar, the queries map does not;
+    // final level trades query-time precision (1 dp -> whole seconds) for fit
+    val line = Seq(assemble(hot, hotSteal), assemble("{}", hotSteal),
+        assemble("{}", "{}"), assemble("{}", "{}", qs0))
+      .find(_.length <= 1990).getOrElse(assemble("{}", "{}", qs0))
     if (line.length > 1990)
       System.err.println(s"[bench] WARNING: result line ${line.length} B exceeds the " +
         "driver's ~2000 B tail window; per-query timings may truncate")

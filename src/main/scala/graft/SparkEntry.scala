@@ -162,6 +162,8 @@ object SparkEntry {
     "kg_two_hop" -> ((s, dir) => GraphOps.twoHop(compactedTriples(s, dir))),
     "kg_triangles" -> ((s, dir) => GraphOps.triangles(compactedTriples(s, dir))),
     "kg_components" -> ((s, dir) => GraphOps.components(compactedTriples(s, dir))),
+    "kg_nbr_jaccard" -> ((s, dir) => GraphOps.neighborsJaccard(compactedTriples(s, dir))),
+    "kg_cooc_pmi" -> ((s, dir) => GraphOps.coocPmi(compactedTriples(s, dir))),
   )
 
   /** the checkpointed bucketed run's global compaction output (staged once
@@ -447,7 +449,9 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "text_repetition" -> ((s, dir) => TextOps.repetition(s, dir)),
     "text_pii_scrub" -> ((s, dir) => TextOps.piiScrubQuery(s, dir)),
+    "text_tfidf" -> ((s, dir) => TextOps.tfidf(s, dir)),
     "dedup_windows" -> ((s, dir) => TextOps.windowDedup(s, dir)),
+    "dedup_clusters" -> ((s, dir) => Dedup.clusters(s, dir)),
     // REAL decode paths throughout (r5): features + frame sampling run
     // ImageIO sequence decoding over staged multi-page TIFF payloads; resize
     // decodes staged PNGs and resamples actual pixels. Every oracle reads
@@ -492,6 +496,47 @@ object SparkEntry {
        |), sh AS (
        |  SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
        |)""".stripMargin
+
+  /** [[graft.ops.Dedup.minhashLsh]]'s signature→band→bucket-join chain as a
+    * reusable CTE prefix ending in `lshpairs(doc_a, doc_b)` — consumed by
+    * both the `dedup_minhash_lsh` oracle and [[dedupClustersSql]]. */
+  private lazy val lshPairsCtes: String = jaccardSql +
+    """, sig AS (
+      |  SELECT doc_id,
+      |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+      |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+      |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+      |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+      |  FROM sh GROUP BY 1),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig UNION ALL
+      |  SELECT doc_id, 1, md5(mh2 || mh3) FROM sig UNION ALL
+      |  SELECT doc_id, 2, md5(mh4 || mh5) FROM sig UNION ALL
+      |  SELECT doc_id, 3, md5(mh6 || mh7) FROM sig),
+      |lshpairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b USING (band, bucket)
+      |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** [[graft.ops.Dedup.clusters]]: connected components over the LSH pair
+    * graph by exhaustive min-label reachability (the independent algorithm
+    * to the star-contraction loop the Spark side runs), keeper = min doc_id.
+    * The WITH head needs RECURSIVE enabled for the reachability CTE. */
+  private lazy val dedupClustersSql: String =
+    lshPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, sym AS (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+        |  UNION SELECT doc_b, doc_a FROM lshpairs),
+        |nodes AS (SELECT DISTINCT doc_a AS id FROM lshpairs
+        |  UNION SELECT DISTINCT doc_b FROM lshpairs),
+        |r(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.dst, r.lab FROM r JOIN sym s ON s.src = r.id),
+        |comp AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY 1),
+        |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT doc_id, cluster_id, cluster_size,
+        |  doc_id = cluster_id AS is_keeper
+        |FROM comp JOIN csz USING (cluster_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -635,22 +680,9 @@ object SparkEntry {
         |  min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
         |  min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
         |FROM sh GROUP BY 1""".stripMargin),
-    "dedup_minhash_lsh" -> (jaccardSql +
-      """, sig AS (
-        |  SELECT doc_id,
-        |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-        |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
-        |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
-        |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
-        |  FROM sh GROUP BY 1),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig UNION ALL
-        |  SELECT doc_id, 1, md5(mh2 || mh3) FROM sig UNION ALL
-        |  SELECT doc_id, 2, md5(mh4 || mh5) FROM sig UNION ALL
-        |  SELECT doc_id, 3, md5(mh6 || mh7) FROM sig)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bands a JOIN bands b USING (band, bucket)
-        |WHERE a.doc_id < b.doc_id""".stripMargin),
+    "dedup_minhash_lsh" ->
+      (lshPairsCtes + "\nSELECT doc_a, doc_b FROM lshpairs"),
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> (s"WITH sig AS (${simhashSql})" +
       s""", bands AS (
@@ -721,6 +753,7 @@ object SparkEntry {
         |    CASE WHEN doc_id % 5 = 0 THEN ' <IP>' ELSE '' END) AS redacted_md5
         |FROM documents""".stripMargin,
     "dedup_windows" -> windowDedupSql,
+    "text_tfidf" -> tfidfSql,
     // Source readers: DuckDB parses the SAME staged files the Spark readers
     // consume (the driver's gate always runs at sf0.01; StagePath matches).
     "src_rasa" ->
@@ -942,6 +975,8 @@ object SparkEntry {
     "kg_two_hop" -> twoHopSql,
     "kg_triangles" -> trianglesSql,
     "kg_components" -> componentsSql,
+    "kg_nbr_jaccard" -> nbrJaccardSql,
+    "kg_cooc_pmi" -> coocPmiSql,
     "kg_dict" -> s"WITH $dictCtes\nSELECT alias, entity_id, kind, prior FROM dict",
     "kg_canonical_map" -> canonicalSql,
     "eval_layers" ->
@@ -1303,6 +1338,38 @@ object SparkEntry {
        |sz AS (SELECT component_id, count(*) AS comp_size FROM comp GROUP BY 1)
        |SELECT entity_id, component_id, comp_size FROM comp JOIN sz USING (component_id)""".stripMargin
 
+  /** [[graft.kg.GraphOps.neighborsJaccard]]'s hot-hub-capped neighborhood
+    * Jaccard, same cap and rounded-threshold semantics. */
+  private lazy val nbrJaccardSql =
+    s"""WITH e AS ($coEdgesCte),
+       |sym AS (SELECT src, dst FROM e WHERE src <> dst
+       |  UNION SELECT dst, src FROM e WHERE src <> dst),
+       |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1),
+       |nb AS (SELECT s.src AS id, s.dst AS nbr FROM sym s
+       |  JOIN deg ON deg.id = s.dst WHERE deg.d <= ${GraphOps.MaxWedgeDeg}),
+       |sz AS (SELECT id, count(*) AS n FROM nb GROUP BY 1),
+       |inter AS (SELECT a.id AS entity_a, b.id AS entity_b, count(*) AS n_common
+       |  FROM nb a JOIN nb b ON a.nbr = b.nbr AND a.id < b.id GROUP BY 1, 2)
+       |SELECT entity_a, entity_b, n_common,
+       |  round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+       |FROM inter JOIN sz sa ON entity_a = sa.id JOIN sz sb ON entity_b = sb.id
+       |WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= ${GraphOps.JaccardMinSim}""".stripMargin
+
+  /** [[graft.kg.GraphOps.coocPmi]]: identical integer-exact numerator /
+    * denominator, one double division, natural log, 4 dp. */
+  private lazy val coocPmiSql =
+    s"""WITH mi AS (SELECT subj AS ent, obj AS doc FROM $goldTriplesSrc
+       |  WHERE pred = 'mentioned_in'),
+       |nd AS (SELECT count(DISTINCT doc) AS n FROM mi),
+       |cnt AS (SELECT ent, count(*) AS c FROM mi GROUP BY 1),
+       |pairs AS (SELECT a.ent AS entity_a, b.ent AS entity_b, count(*) AS n_joint
+       |  FROM mi a JOIN mi b ON a.doc = b.doc AND a.ent < b.ent GROUP BY 1, 2
+       |  HAVING count(*) >= ${GraphOps.PmiMinJoint})
+       |SELECT entity_a, entity_b, n_joint,
+       |  round(ln(n_joint * nd.n / (ca.c * cb.c)), 4) AS pmi
+       |FROM pairs CROSS JOIN nd
+       |JOIN cnt ca ON entity_a = ca.ent JOIN cnt cb ON entity_b = cb.ent""".stripMargin
+
   // --------------------------------------------- text-pipeline oracles
 
   private lazy val repetitionSql: String = {
@@ -1341,4 +1408,23 @@ object SparkEntry {
        |  coalesce(n_dup_windows, 0) AS n_dup_windows,
        |  round(coalesce(CAST(n_dup_windows AS DOUBLE) / n_windows, 0), 6) AS dup_win_frac
        |FROM documents b LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** [[graft.ops.TextOps.tfidf]]: identical tokenization, identical 6-dp
+    * pre-rounding of the ranking key (raw-double ordering could differ in
+    * the last ulp between engines), same (score desc, term asc) tie-break. */
+  private lazy val tfidfSql =
+    s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |nd AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, round(tf * ln(nd.n / df.df), 6) AS s6
+       |  FROM tf JOIN df USING (term) CROSS JOIN nd),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, s6,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY s6 DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, round(s6, 4) AS tfidf
+       |FROM ranked WHERE rank <= ${graft.ops.TextOps.TfidfTopK}""".stripMargin
 }

@@ -215,4 +215,99 @@ object GraphOps {
       .groupBy("entity_id", "out_degree")
       .agg(count(col("nbr2")).as("n_two_hop"))
   }
+
+  /** hot-hub degree cap for [[neighborsJaccard]]: nodes whose undirected
+    * degree exceeds this are excluded from the NEIGHBOR role (they generate
+    * deg² wedge pairs and carry no similarity signal — every entity touches
+    * them). The cap makes both the candidate fan-out AND the similarity
+    * universe deterministic, so the oracle applies the same cap. */
+  val MaxWedgeDeg = 32
+  /** minimum capped-Jaccard to emit from [[neighborsJaccard]]. */
+  val JaccardMinSim = 0.5
+  /** minimum joint-doc count for a pair to appear in [[coocPmi]]. */
+  val PmiMinJoint = 2
+
+  /** Entity relatedness by neighborhood overlap: for every entity pair
+    * sharing at least one (low-degree) common neighbor in the UNDIRECTED
+    * co-occurrence graph, the Jaccard similarity of their neighbor sets —
+    * the standard "related entities" signal (and the similarity driving
+    * link-prediction baselines).
+    *
+    * Semantics are hot-hub-capped on BOTH sides (candidate generation and
+    * the similarity universe): neighbor lists contain only neighbors of
+    * undirected degree ≤ [[MaxWedgeDeg]]. That makes the wedge fan-out per
+    * shared neighbor ≤ cap² (a constant) — the same reason
+    * [[triangles]] orients by degree — while keeping the output a pure
+    * function of the graph that the DuckDB oracle reproduces exactly.
+    * All steps are equi-joins + two-phase aggregations; the wedge join is
+    * keyed by the shared neighbor, whose fan-out the cap bounds, so no AQE
+    * skew handling is even needed.
+    */
+  def neighborsJaccard(triples: DataFrame): DataFrame = {
+    val e = coEdges(triples)
+    val sym = e.where(col("src") =!= col("dst"))
+      .unionAll(e.where(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    // neighbor lists restricted to low-degree neighbors; nb feeds the sizes
+    // aggregate and both wedge sides — persist so the sym+deg join runs once
+    val nb = sym.join(deg.where(col("d") <= MaxWedgeDeg), sym("dst") === deg("id"))
+      .select(sym("src").as("id"), sym("dst").as("nbr"))
+      .persist()
+    val sz = nb.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = nb.as("a").join(nb.as("b"), col("a.nbr") === col("b.nbr"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
+      .agg(count(lit(1)).as("i"))
+    val out = inter
+      .join(sz.as("sa"), col("ia") === col("sa.id"))
+      .join(sz.as("sb"), col("ib") === col("sb.id"))
+      .select(col("ia").as("entity_a"), col("ib").as("entity_b"),
+        col("i").as("n_common"),
+        round(col("i") / (col("sa.n") + col("sb.n") - col("i")), 4).as("jaccard"))
+      .where(col("jaccard") >= JaccardMinSim)
+      .persist()
+    out.count()
+    nb.unpersist()
+    out
+  }
+
+  /** Pointwise mutual information between co-mentioned entities, from the
+    * `mentioned_in` predicate: for entity pairs mentioned together in
+    * ≥ [[PmiMinJoint]] documents,
+    *
+    *   pmi(a,b) = ln( n_ab * N_docs / (n_a * n_b) )
+    *
+    * with n_x = #docs mentioning x (the `mentioned_in` rows are distinct
+    * (entity, doc) by construction). The association score a KG builder uses
+    * to weight co-occurrence edges before thresholding them into the graph.
+    *
+    * Scale: the pair join is keyed by doc_id — uniform, never entity-skewed
+    * — and per-doc fan-out is quadratic only in entities-per-doc, which the
+    * document length bounds. Marginals join back on the entity key with
+    * map-side-combined counts. N_docs is the one scalar (a driver count).
+    */
+  def coocPmi(triples: DataFrame): DataFrame = {
+    val mi = triples.where(col("pred") === "mentioned_in")
+      .select(col("subj").as("ent"), col("obj").as("doc"))
+      .persist()
+    val nDocs = mi.select("doc").distinct().count().toDouble
+    val cnt = mi.groupBy(col("ent")).agg(count(lit(1)).as("c"))
+    val pairs = mi.as("a").join(mi.as("b"), col("a.doc") === col("b.doc"))
+      .where(col("a.ent") < col("b.ent"))
+      .groupBy(col("a.ent").as("entity_a"), col("b.ent").as("entity_b"))
+      .agg(count(lit(1)).as("n_joint"))
+      .where(col("n_joint") >= PmiMinJoint)
+    val out = pairs
+      .join(cnt.as("ca"), col("entity_a") === col("ca.ent"))
+      .join(cnt.as("cb"), col("entity_b") === col("cb.ent"))
+      .select(col("entity_a"), col("entity_b"), col("n_joint"),
+        round(log(col("n_joint") * lit(nDocs) / (col("ca.c") * col("cb.c"))), 4)
+          .as("pmi"))
+      .persist()
+    out.count()
+    mi.unpersist()
+    out
+  }
 }

@@ -208,4 +208,36 @@ object Dedup {
       .where(col("hamming") <= SimhashMaxHamming)
       .distinct()
   }
+
+  /** Duplicate CLUSTERS — the end-step a real dedup pipeline runs after
+    * candidate pairing: connected components over the MinHash-LSH pair graph
+    * ([[minhashLsh]]), each cluster labeled by its minimum doc_id (the
+    * canonical keeper a keep-one-per-cluster filter would retain). Only docs
+    * participating in ≥ 1 near-dup pair appear (singletons are trivially
+    * their own keeper).
+    *
+    * Reuses [[graft.kg.Canonical.connectedComponents]] — the alternating
+    * star loop measured flat to 9.75M edges (BENCH/CC_BENCH.md) — over
+    * zero-padded string ids so the component min-label agrees with numeric
+    * min; the padding is stripped on output.
+    */
+  def clusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir)
+    val edges = pairs.select(
+      lpad(col("doc_a").cast("string"), 12, "0").as("src"),
+      lpad(col("doc_b").cast("string"), 12, "0").as("dst"))
+    val cc = graft.kg.Canonical.connectedComponents(edges)
+    val labeled = cc.select(
+      col("entity_id").cast("long").as("doc_id"),
+      col("canonical_id").cast("long").as("cluster_id"))
+      .persist()
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val out = labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .persist()
+    out.count()
+    labeled.unpersist()
+    out
+  }
 }

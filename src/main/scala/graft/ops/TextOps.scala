@@ -229,4 +229,43 @@ object TextOps {
   /** query entry: scrub the deterministic dirty corpus. */
   def piiScrubQuery(spark: SparkSession, sfDir: String): DataFrame =
     piiScrub(injectPii(docsDf(spark, sfDir)))
+
+  /** terms emitted per document by [[tfidf]]. */
+  val TfidfTopK = 3
+
+  /** Top-[[TfidfTopK]] keywords per document by tf-idf
+    * (tf × ln(N/df), df = document frequency) — the classic keyword /
+    * relevance signal a training-data pipeline uses for topic filtering.
+    *
+    * Determinism across engines: candidates are ranked on the 6-dp-ROUNDED
+    * score with the term string as tie-break, so Spark and the oracle sort
+    * identical keys (raw doubles could order differently in the last ulp).
+    *
+    * Scale: tf is a two-phase (doc, term) hash aggregation; df re-aggregates
+    * tf's output by term (map-side combined — no distinct over raw tokens);
+    * df joins back on the term key; the only wide op is the per-doc top-k
+    * window, partitioned by doc_id (uniform). N is one driver scalar.
+    */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = docsDf(spark, sfDir)
+    val nDocs = docs.count().toDouble
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * log(lit(nDocs) / col("df")), 6).as("s6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("s6").desc, col("term"))
+    val out = scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        round(col("s6"), 4).as("tfidf"))
+      .persist()
+    out.count()
+    tf.unpersist()
+    out
+  }
 }

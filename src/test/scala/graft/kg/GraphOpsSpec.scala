@@ -104,4 +104,53 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.exists { case (h, _, two) => h == "s" && two == 0L }) // sink hub
   }
+
+  test("neighborsJaccard: capped neighbor sets, threshold on the ROUNDED score") {
+    import spark.implicits._
+    // star hub h touches everything (degree > cap once enough spokes exist)
+    // — it must vanish from every neighbor list; a and b then share exactly
+    // their mutual neighbor c. Graph: a-c, b-c, a-b plus hub h to all spokes.
+    val spokes = (1 to GraphOps.MaxWedgeDeg + 1).map(i => ("h", f"sp$i%03d"))
+    // twins t1/t2 share exactly {c, d} → jaccard 1.0 (kept); the a-b-c
+    // triangle pairs all score 1/3 (dropped by the 0.5 threshold)
+    val und = Seq(("a", "c"), ("b", "c"), ("a", "b"),
+      ("t1", "c"), ("t1", "d"), ("t2", "c"), ("t2", "d"),
+      ("h", "a"), ("h", "b"), ("h", "c")) ++ spokes
+    val tri = und.map { case (s, o) => (s, "co_occurs_with", o) }
+      .toDF("subj", "pred", "obj")
+    val got = GraphOps.neighborsJaccard(tri).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // driver re-derivation: neighbor sets EXCLUDING h (deg(h) > cap)
+    val sym = und.flatMap { case (s, o) => Seq(s -> o, o -> s) }.distinct
+    val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+    val nb = sym.filter { case (_, n) => deg(n) <= GraphOps.MaxWedgeDeg }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = (for {
+      x <- nb.keys; y <- nb.keys if x < y
+      i = (nb(x) & nb(y)).size if i > 0
+      j = BigDecimal(i.toDouble / (nb(x).size + nb(y).size - i))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= GraphOps.JaccardMinSim
+    } yield (x, y) -> ((i.toLong, j))).toMap
+    assert(got == expect)
+    assert(got(("t1", "t2")) == ((2L, 1.0)))   // identical capped neighborhoods
+    assert(got(("c", "d")) == ((2L, 0.5)))     // exactly at the threshold → kept
+    assert(!got.contains(("a", "b")))          // 1/3 < 0.5 → dropped
+    assert(!got.keys.exists { case (x, y) => x == "h" || y == "h" }) // hub diluted out
+  }
+
+  test("coocPmi: ln(n_ab·N / (n_a·n_b)) at 4 dp, min-joint filter") {
+    import spark.implicits._
+    val mi = Seq(
+      ("a", "d1"), ("a", "d2"), ("a", "d3"),
+      ("b", "d1"), ("b", "d2"),
+      ("c", "d3"), ("c", "d4")) // (a,b) joint 2 → kept; (a,c) joint 1 → dropped
+    val tri = mi.map { case (e, d) => (e, "mentioned_in", d) }
+      .toDF("subj", "pred", "obj")
+    val got = GraphOps.coocPmi(tri).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val expectPmi = BigDecimal(math.log(2.0 * 4 / (3 * 2)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(("a", "b") -> ((2L, expectPmi))))
+  }
 }

@@ -512,4 +512,53 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
     assert(twice.forall(_ == ((0, 0, 0))), "no PII survives a scrub")
   }
+
+  test("dedup clusters: labels == driver union-find over the LSH pairs; keeper is cluster min") {
+    val pairs = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty, "no LSH pairs at this sf")
+    // dependency-free union-find on longs (numeric min labels — the op's
+    // zero-padded-string CC must agree with plain numeric semantics)
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); parent(x) = r; r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val lab = nodes.map(n => n -> find(n)).toMap
+    // plain min-reduce: find() may stop at a stale root mid-sequence, so
+    // normalize by one more pass
+    val norm = lab.map { case (n, l) => n -> find(l) }
+    val sz = norm.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.clusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == norm.keySet)
+    norm.foreach { case (n, l) =>
+      assert(got(n) == ((l, sz(l), n == l)), s"doc $n")
+    }
+  }
+
+  test("tfidf: top-k per doc matches a plain-Scala recount with the rounded-key ordering") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    val n = docs.size.toDouble
+    val df = docs.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = docs.flatMap { case (id, toks) =>
+      val tf = toks.groupBy(identity).view.mapValues(_.size).toMap
+      tf.toSeq.map { case (t, c) => (t, c, r6(c * math.log(n / df(t)))) }
+        .sortBy { case (t, _, s) => (-s, t) }
+        .take(TextOps.TfidfTopK).zipWithIndex
+        .map { case ((t, c, s), i) => (id, i + 1) -> ((t, c.toLong, r4(s))) }
+    }
+    val got = TextOps.tfidf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == expect)
+  }
 }
