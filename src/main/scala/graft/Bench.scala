@@ -110,6 +110,12 @@ object Bench {
       s"""{"cfg":"$cfgName","sec":${t2(secOrSentinel)},"triples":$triples,""" +
         s""""docs":$docsN,"tokens":$tokens,"amp":$amp,"load":${t1(load)},""" +
         s""""steal":${t1(steal)},"tps":${perSec(triples)},"toks":${perSec(tokens)}}"""
+    /** minimum viable headline for the last shrink level: the throughput
+      * read (sec, tokens, toks) plus the steal diagnostic; docs/amp/load
+      * live in the sidecar */
+    def jsonMin(cfgName: String): String =
+      s"""{"cfg":"$cfgName","sec":${t2(secOrSentinel)},"tokens":$tokens,""" +
+        s""""steal":${t1(steal)},"toks":${perSec(tokens)}}"""
     /** full-precision object for the sidecar file */
     def jsonFull(cfgName: String): String =
       s"""{"cfg":"$cfgName","sec":$secOrSentinel,"rep_secs":[${repSecs.mkString(",")}],""" +
@@ -272,18 +278,27 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum + math.max(primary.secOrSentinel, 0)
-    def assemble(hotJs: String, stealJs: String, qsJs: String = qs) =
+    def assemble(hotJs: String, stealJs: String, qsJs: String = qs,
+                 minHeadlines: Boolean = false) = {
+      val (kgJs, kg2Js) =
+        if (minHeadlines) (primary.jsonMin(cfgName), secondary.jsonMin(secondaryName))
+        else (primary.json(cfgName), secondary.json(secondaryName))
       s"""{"metric":"total","value":${t1(total)},"unit":"sec","sf":"$sfName",""" +
         s""""failed":$failedJson,"reps":$reps,"prep":${t1(stageSec)},""" +
-        s""""kg":${primary.json(cfgName)},"kg2":${secondary.json(secondaryName)},""" +
+        s""""kg":$kgJs,"kg2":$kg2Js,""" +
         s""""hot":$hotJs,"steal":$stealJs,"queries":$qsJs}"""
+    }
     // the driver tail-captures ~2000 B: on a dirty window the hot/steal
     // annotation maps can push the line past it, so shrink progressively —
     // the annotations live in full in the sidecar, the queries map does not;
-    // final level trades query-time precision (1 dp -> whole seconds) for fit
+    // the last two levels trade query-time precision (1 dp -> whole seconds)
+    // and headline detail for fit (an 85-entry integer map with the full
+    // headline objects sits at ~1989 B — one 10 s query from overflow)
     val line = Seq(assemble(hot, hotSteal), assemble("{}", hotSteal),
-        assemble("{}", "{}"), assemble("{}", "{}", qs0))
-      .find(_.length <= 1990).getOrElse(assemble("{}", "{}", qs0))
+        assemble("{}", "{}"), assemble("{}", "{}", qs0),
+        assemble("{}", "{}", qs0, minHeadlines = true))
+      .find(_.length <= 1990)
+      .getOrElse(assemble("{}", "{}", qs0, minHeadlines = true))
     if (line.length > 1990)
       System.err.println(s"[bench] WARNING: result line ${line.length} B exceeds the " +
         "driver's ~2000 B tail window; per-query timings may truncate")

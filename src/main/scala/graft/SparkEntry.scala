@@ -164,6 +164,7 @@ object SparkEntry {
     "kg_components" -> ((s, dir) => GraphOps.components(compactedTriples(s, dir))),
     "kg_nbr_jaccard" -> ((s, dir) => GraphOps.neighborsJaccard(compactedTriples(s, dir))),
     "kg_cooc_pmi" -> ((s, dir) => GraphOps.coocPmi(compactedTriples(s, dir))),
+    "kg_hits" -> ((s, dir) => GraphOps.hits(compactedTriples(s, dir))),
   )
 
   /** the checkpointed bucketed run's global compaction output (staged once
@@ -433,6 +434,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_embcos" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "sim_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    "emb_quantize" -> ((s, dir) => Similarity.quantize(s, dir)),
     "sim_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "sim_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     // the on-disk inverted-list layout: index partitioned by cluster,
@@ -977,6 +979,8 @@ object SparkEntry {
     "kg_components" -> componentsSql,
     "kg_nbr_jaccard" -> nbrJaccardSql,
     "kg_cooc_pmi" -> coocPmiSql,
+    "kg_hits" -> hitsSql,
+    "emb_quantize" -> embQuantizeSql,
     "kg_dict" -> s"WITH $dictCtes\nSELECT alias, entity_id, kind, prior FROM dict",
     "kg_canonical_map" -> canonicalSql,
     "eval_layers" ->
@@ -1355,6 +1359,24 @@ object SparkEntry {
        |FROM inter JOIN sz sa ON entity_a = sa.id JOIN sz sb ON entity_b = sb.id
        |WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= ${GraphOps.JaccardMinSim}""".stripMargin
 
+  /** [[graft.kg.GraphOps.hits]]'s unnormalized integer recurrence unrolled
+    * as chained join CTEs — every score an exact Int64, no float anywhere. */
+  private lazy val hitsSql: String = {
+    val t = GraphOps.HitsIters
+    val iters = (1 to t).map { i =>
+      s"""a$i AS (SELECT e.dst AS id, sum(h${i - 1}.h) AS a FROM e
+         |  JOIN h${i - 1} ON e.src = h${i - 1}.id GROUP BY 1),
+         |h$i AS (SELECT e.src AS id, sum(a$i.a) AS h FROM e
+         |  JOIN a$i ON e.dst = a$i.id GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($coEdgesCte),
+       |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+       |h0 AS (SELECT id, CAST(1 AS BIGINT) AS h FROM nodes),
+       |$iters
+       |SELECT n.id AS entity_id, coalesce(a$t.a, 0) AS auth, coalesce(h$t.h, 0) AS hub
+       |FROM nodes n LEFT JOIN a$t ON n.id = a$t.id LEFT JOIN h$t ON n.id = h$t.id""".stripMargin
+  }
+
   /** [[graft.kg.GraphOps.coocPmi]]: identical integer-exact numerator /
     * denominator, one double division, natural log, 4 dp. */
   private lazy val coocPmiSql =
@@ -1369,6 +1391,31 @@ object SparkEntry {
        |  round(ln(n_joint * nd.n / (ca.c * cb.c)), 4) AS pmi
        |FROM pairs CROSS JOIN nd
        |JOIN cnt ca ON entity_a = ca.ent JOIN cnt cb ON entity_b = cb.ent""".stripMargin
+
+  /** [[graft.ops.Similarity.quantize]]: same single-IEEE-op chain per
+    * element (widen, divide, round-half-away, multiply, subtract, max), so
+    * only the two 8 dp stats are defensively rounded; q_sum/q_min/q_max are
+    * integer-exact. */
+  private lazy val embQuantizeSql =
+    """WITH b AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS s
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  round(s, 8) AS scale,
+      |  CASE WHEN s = 0 THEN 0
+      |    ELSE CAST(list_sum(list_transform(e, x -> round(x / s))) AS BIGINT)
+      |  END AS q_sum,
+      |  CASE WHEN s = 0 THEN 0
+      |    ELSE CAST(list_min(list_transform(e, x -> round(x / s))) AS INT)
+      |  END AS q_min,
+      |  CASE WHEN s = 0 THEN 0
+      |    ELSE CAST(list_max(list_transform(e, x -> round(x / s))) AS INT)
+      |  END AS q_max,
+      |  CASE WHEN s = 0 THEN 0.0
+      |    ELSE round(list_max(list_transform(e, x -> abs(x - round(x / s) * s))), 8)
+      |  END AS max_err
+      |FROM b""".stripMargin
 
   // --------------------------------------------- text-pipeline oracles
 

@@ -273,6 +273,54 @@ object GraphOps {
     out
   }
 
+  /** HITS iterations for [[hits]]. */
+  val HitsIters = 3
+
+  /** Kleinberg HITS (hubs & authorities) over the directed co-occurrence
+    * graph — UNNORMALIZED, [[HitsIters]] fixed iterations:
+    *
+    *   a_t(v) = Σ_{u→v} h_{t-1}(u),   h_t(u) = Σ_{u→v} a_t(v),   h_0 ≡ 1
+    *
+    * Dropping the per-iteration norm keeps every score an INTEGER, so the
+    * op is bit-exact against any engine (the DuckDB oracle unrolls the same
+    * recurrence as chained joins — no float rounding anywhere) and the
+    * hub/authority RANKING is unchanged (normalization only rescales).
+    * Overflow bound: scores grow ≤ maxdeg^(2t); with t=3 a max degree up to
+    * ~10^3 stays far inside Int64. Beyond that (web-scale hub degrees)
+    * you'd flip to the standard normalized-double variant — same plan
+    * shape, per-iteration scalar norm — and an approximate oracle.
+    *
+    * Scale: each half-iteration is one equi-join edge⋈score + one
+    * map-side-combined groupBy sum — identical shuffle profile to
+    * [[pagerank]], with the same persisted pre-partitioned edge table.
+    */
+  def hits(triples: DataFrame): DataFrame = {
+    val e = coEdges(triples)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .repartition(col("id")).persist()
+    val bySrc = e.repartition(col("src")).persist()
+    var hub = nodes.select(col("id"), lit(1L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      auth = bySrc.join(hub, bySrc("src") === hub("id"))
+        .groupBy(bySrc("dst").as("id")).agg(sum(col("h")).as("a"))
+      hub = bySrc.join(auth, bySrc("dst") === auth("id"))
+        .groupBy(bySrc("src").as("id")).agg(sum(col("a")).as("h"))
+    }
+    val out = nodes
+      .join(auth.withColumnRenamed("id", "aid"), col("id") === col("aid"), "left_outer")
+      .join(hub.withColumnRenamed("id", "hid"), col("id") === col("hid"), "left_outer")
+      .select(col("id").as("entity_id"),
+        coalesce(col("a"), lit(0L)).as("auth"),
+        coalesce(col("h"), lit(0L)).as("hub"))
+      .persist()
+    out.count()
+    nodes.unpersist()
+    bySrc.unpersist()
+    out
+  }
+
   /** Pointwise mutual information between co-mentioned entities, from the
     * `mentioned_in` predicate: for entity pairs mentioned together in
     * ≥ [[PmiMinJoint]] documents,

@@ -422,4 +422,38 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
   }
+
+  /** Symmetric int8 scalar quantization of the embedding column — the 4×
+    * storage/bandwidth reduction step a 100 TB vector corpus applies before
+    * indexing: scale = max|v|/127, q_i = round(v_i/scale), plus the
+    * reconstruction-integrity stats a pipeline gates on.
+    *
+    * Cross-engine determinism (no rounding slop needed anywhere):
+    * max / divide / multiply / subtract are single IEEE double ops (the
+    * float32 inputs widen exactly), both engines round() half-away-from-
+    * zero, and `q_sum` is a sum of small INTEGER-valued terms — exact in
+    * any order. The only defensively-rounded fields are the two 8 dp stats.
+    * Pure codegen'd array HOFs (`transform`/`aggregate`/`array_max`), one
+    * parquet scan, zero shuffles — embarrassingly parallel at any scale.
+    */
+  def quantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = col("s")
+    def qd(v: Column): Column = round(v.cast("double") / s) // quantized double
+    embDf(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        (array_max(transform(col("embedding"), v => abs(v.cast("double")))) / 127)
+          .as("s"))
+      .select(col("vec_id"),
+        round(s, 8).as("scale"),
+        when(s === 0, lit(0L)).otherwise(
+          aggregate(col("embedding"), lit(0L), (acc, v) => acc + qd(v).cast("long")))
+          .as("q_sum"),
+        when(s === 0, lit(0)).otherwise(
+          array_min(transform(col("embedding"), v => qd(v).cast("int")))).as("q_min"),
+        when(s === 0, lit(0)).otherwise(
+          array_max(transform(col("embedding"), v => qd(v).cast("int")))).as("q_max"),
+        when(s === 0, lit(0.0)).otherwise(
+          round(array_max(transform(col("embedding"),
+            v => abs(v.cast("double") - qd(v) * s))), 8)).as("max_err"))
+  }
 }

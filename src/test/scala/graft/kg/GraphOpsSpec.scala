@@ -139,6 +139,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(!got.keys.exists { case (x, y) => x == "h" || y == "h" }) // hub diluted out
   }
 
+  test("hits: integer-exact unnormalized recurrence, zero-fill for sinks/sources") {
+    // driver re-derivation of the exact integer recurrence on the base graph
+    val nodes = edges.flatMap { case (s, o) => Seq(s, o) }.distinct
+    var hub = nodes.map(_ -> 1L).toMap
+    var auth = Map.empty[String, Long]
+    for (_ <- 1 to GraphOps.HitsIters) {
+      auth = edges.groupBy(_._2).view.mapValues(_.map(e => hub.getOrElse(e._1, 0L)).sum).toMap
+      hub = edges.groupBy(_._1).view.mapValues(_.map(e => auth.getOrElse(e._2, 0L)).sum).toMap
+    }
+    val expect = nodes.map(v =>
+      v -> ((auth.getOrElse(v, 0L), hub.getOrElse(v, 0L)))).toMap
+    val got = GraphOps.hits(triplesDf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    // scores must be nontrivial (the graph is strongly connected enough)
+    assert(got.values.exists { case (a, h) => a > 1 && h > 1 })
+  }
+
   test("coocPmi: ln(n_ab·N / (n_a·n_b)) at 4 dp, min-joint filter") {
     import spark.implicits._
     val mi = Seq(

@@ -541,6 +541,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("emb quantize: int8 codes and reconstruction stats match exact double recount") {
+    def rhu(x: Double, dp: Int) = // round-half-away-from-zero, Spark's round()
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assume(rows.nonEmpty)
+    val expect = rows.map { case (id, v) =>
+      val s = v.map(x => math.abs(x.toDouble)).max / 127
+      val q = v.map(x => rhu(x.toDouble / s, 0))
+      val err = v.zip(q).map { case (x, qq) => math.abs(x.toDouble - qq * s) }.max
+      id -> ((rhu(s, 8), q.map(_.toLong).sum, q.min.toInt, q.max.toInt, rhu(err, 8)))
+    }.toMap
+    val got = Similarity.quantize(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
+    assert(got == expect)
+    // codes actually span the int8 range on real data (scale chosen for it)
+    assert(got.values.exists(t => t._4 == 127 || t._3 == -127))
+  }
+
   test("tfidf: top-k per doc matches a plain-Scala recount with the rounded-key ordering") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
