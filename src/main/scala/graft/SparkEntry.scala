@@ -452,8 +452,10 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => TextOps.repetition(s, dir)),
     "text_pii_scrub" -> ((s, dir) => TextOps.piiScrubQuery(s, dir)),
     "text_tfidf" -> ((s, dir) => TextOps.tfidf(s, dir)),
+    "doc_sample" -> ((s, dir) => TextOps.sampleStratified(s, dir)),
     "dedup_windows" -> ((s, dir) => TextOps.windowDedup(s, dir)),
     "dedup_clusters" -> ((s, dir) => Dedup.clusters(s, dir)),
+    "dedup_exact_stream" -> ((s, dir) => Streaming.dedupExactStream(s, dir)),
     // REAL decode paths throughout (r5): features + frame sampling run
     // ImageIO sequence decoding over staged multi-page TIFF payloads; resize
     // decodes staged PNGs and resamples actual pixels. Every oracle reads
@@ -756,6 +758,16 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "dedup_windows" -> windowDedupSql,
     "text_tfidf" -> tfidfSql,
+    // deterministic stratified sample: same md5-hex-digit keep rule
+    "doc_sample" ->
+      s"""SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+         |FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < ${sampleBoundCase}""".stripMargin,
+    // the streaming dedup is arrival-order-independent BY CONSTRUCTION
+    // (aggregation, not dropDuplicates), so the batch dedup SQL is its oracle
+    "dedup_exact_stream" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
     // Source readers: DuckDB parses the SAME staged files the Spark readers
     // consume (the driver's gate always runs at sf0.01; StagePath matches).
     "src_rasa" ->
@@ -1418,6 +1430,13 @@ object SparkEntry {
       |FROM b""".stripMargin
 
   // --------------------------------------------- text-pipeline oracles
+
+  /** per-language keep bound for the `doc_sample` oracle, generated from the
+    * SAME constant map the Spark op folds over. */
+  private lazy val sampleBoundCase: String =
+    graft.ops.TextOps.SampleBound.toSeq.sortBy(_._1)
+      .map { case (l, b) => s"WHEN '$l' THEN '$b'" }
+      .mkString("CASE lang ", " ", s" ELSE '${graft.ops.TextOps.SampleBoundDefault}' END")
 
   private lazy val repetitionSql: String = {
     def gramCte(name: String, k: Int) =

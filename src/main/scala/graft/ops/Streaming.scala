@@ -156,4 +156,42 @@ object Streaming {
         max(col("ts")).as("session_end"),
         round(sum(col("value")), 6).as("sum_value"))
   }
+
+  /** Streaming EXACT DEDUP over an incrementally-arriving document corpus —
+    * the training-pipeline ingest shape: fingerprint groups maintained as
+    * streaming aggregation state, keeper = min doc_id. Defined as an
+    * AGGREGATION (not `dropDuplicates`) so the result is independent of
+    * micro-batch arrival order — the surviving doc per group is a property
+    * of the data, and the DuckDB oracle is the SAME SQL as the batch
+    * `dedup_exact`. At unbounded scale the state would be bounded with
+    * `dropDuplicatesWithinWatermark`-style eviction; with the finite
+    * AvailableNow source complete-mode state is the whole fingerprint
+    * table, which is exactly the batch op's shuffle footprint.
+    */
+  def dedupExactStream(spark: SparkSession, sfDir: String,
+                       name: String = "dedup_stream_out"): DataFrame = {
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the source corpus is a single parquet file; stage a 4-file copy and
+    // feed one file per trigger, so the fingerprint state genuinely
+    // accumulates across several micro-batches instead of degenerating to
+    // one batch job (which rows land in which arrival wave is irrelevant —
+    // the aggregation is arrival-order-independent by construction)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream_src")
+    dir.toFile.deleteOnExit()
+    batchDocs.repartition(4).write.mode("overwrite").parquet(dir.toString)
+    val src = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val q = src
+      .select(md5(col("text")).as("fingerprint"), col("doc_id"))
+      .groupBy("fingerprint")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
 }

@@ -230,6 +230,33 @@ object TextOps {
   def piiScrubQuery(spark: SparkSession, sfDir: String): DataFrame =
     piiScrub(injectPii(docsDf(spark, sfDir)))
 
+  /** per-language sampling rates for [[sampleStratified]], expressed as the
+    * EXCLUSIVE upper-bound hex digit of md5(doc_id): a doc is kept when the
+    * first hex digit of its fingerprint is lexicographically below the
+    * stratum's bound — '8' keeps 8/16 = 50%, '4' → 25%, '2' → 12.5%, and
+    * unlisted languages fall back to '1' (6.25%). Single-char hex compare is
+    * engine-neutral (0-9 < a-f in ASCII) — no hex→int parsing anywhere. */
+  val SampleBound: Map[String, String] =
+    Map("en" -> "8", "de" -> "4", "fr" -> "4", "es" -> "2")
+  val SampleBoundDefault = "1"
+
+  /** Deterministic stratified subsampling — the reproducible corpus-mixing
+    * step a training-data pipeline runs to rebalance languages/sources:
+    * keep-decision is a pure function of (doc_id, lang), so any re-run, any
+    * engine, and any partitioning selects the SAME sample. A codegen'd
+    * filter over one scan (md5 + substring + CASE) — pushes to the row
+    * group level, no shuffle, no RNG state.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val bound = SampleBound.foldLeft(lit(SampleBoundDefault)) {
+      case (acc, (lang, b)) => when(col("lang") === lang, lit(b)).otherwise(acc)
+    }
+    docsDf(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("h"))
+      .where(col("h") < bound)
+  }
+
   /** terms emitted per document by [[tfidf]]. */
   val TfidfTopK = 3
 

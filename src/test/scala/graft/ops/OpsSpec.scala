@@ -562,6 +562,43 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.exists(t => t._4 == 127 || t._3 == -127))
   }
 
+  test("stratified sample: keep rule is a pure function of (doc_id, lang); rates land near target") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    def hex1(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).take(1)
+      .map("%02x".format(_)).mkString.take(1)
+    val expect = docs.filter { case (id, lang) =>
+      hex1(id) < TextOps.SampleBound.getOrElse(lang, TextOps.SampleBoundDefault)
+    }.map { case (id, lang) => id -> ((lang, hex1(id))) }.toMap
+    val got = TextOps.sampleStratified(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got == expect)
+    // per-stratum realized rate within a loose binomial band of the target
+    val byLang = docs.groupBy(_._2)
+    TextOps.SampleBound.foreach { case (lang, b) =>
+      val n = byLang.get(lang).map(_.length).getOrElse(0)
+      if (n >= 50) {
+        val kept = got.count(_._2._1 == lang).toDouble / n
+        val target = Integer.parseInt(b, 16) / 16.0
+        assert(math.abs(kept - target) < 0.15, s"$lang: $kept vs $target")
+      }
+    }
+    // determinism across repartitioning
+    val again = TextOps.sampleStratified(spark, sfDir).repartition(7).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(again == got.keySet)
+  }
+
+  test("streaming exact dedup == batch dedup (arrival-order-independent aggregation)") {
+    val stream = Streaming.dedupExactStream(spark, sfDir, name = "dedup_stream_spec").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = Dedup.exact(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("tfidf: top-k per doc matches a plain-Scala recount with the rounded-key ordering") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
