@@ -68,7 +68,27 @@ object GraphBench {
 
   final case class Row2(graph: String, nodes: Long, edges: Long,
                         pagerankSec: Double, degreeSec: Double,
-                        prLoad: Double, degLoad: Double)
+                        prLoad: Double, degLoad: Double,
+                        hitsSec: Double = -1.0, hitsLoad: Double = 0.0)
+
+  /** closed-form integer HITS on the 2-regular ring+chord: every node has
+    * in-deg == out-deg == 2, so a_t = 2·h_{t-1} and h_t = 2·a_t uniformly →
+    * auth = 2^(2T-1), hub = 2^(2T). */
+  def ringHitsExpected: (Long, Long) =
+    (1L << (2 * GraphOps.HitsIters - 1), 1L << (2 * GraphOps.HitsIters))
+
+  /** closed-form integer HITS on the hub↔spoke star with m = n-1 spokes:
+    * the recurrence collapses to powers of m — hub (auth, hub) = (m^T, m^T),
+    * spoke (auth, hub) = (m^(T-1), m^T). Returns None when m^T overflows
+    * Int64 (the op's DOCUMENTED bound: scores grow ≤ maxdeg^(2t)) — the
+    * bench then SKIPS the row rather than asserting on wrapped values. */
+  def starHitsExpected(n: Long): Option[(Long, Long, Long)] = {
+    val m = BigInt(n - 1)
+    val t = GraphOps.HitsIters
+    val mT = m.pow(t)
+    if (mT > BigInt(Long.MaxValue)) None
+    else Some((mT.toLong, m.pow(t - 1).toLong, mT.toLong))
+  }
 
   private def timed[A](body: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -118,6 +138,7 @@ object GraphBench {
     // (measured: 115 s for a ring the steady state runs in <10 s), which
     // would misattribute compiler time to the smallest measured row
     GraphOps.pagerank(ringChordTriples(spark, 100000L)).count()
+    GraphOps.hits(ringChordTriples(spark, 100000L)).count()
     spark.catalog.clearCache()
 
     val selfCpus = cpus.toDouble
@@ -144,7 +165,16 @@ object GraphBench {
       require(degAgg.getLong(0) == 2 && degAgg.getLong(1) == 2 &&
         degAgg.getLong(2) == 2 && degAgg.getLong(3) == 2 && degAgg.getLong(4) == n,
         s"ring n=$n: degree closed form violated: $degAgg")
-      rows += Row2(s"ring+chord", n, 2 * n, prSec, degSec, prLoad, degLoad)
+      val (ringHits, rhSec, rhLoad) = measure(spark, selfCpus) {
+        GraphOps.hits(ringChordTriples(spark, n))
+          .select("auth", "hub").distinct().collect()
+      }
+      val (expA, expH) = ringHitsExpected
+      require(ringHits.length == 1 && ringHits.head.getLong(0) == expA &&
+        ringHits.head.getLong(1) == expH,
+        s"ring n=$n: HITS closed form violated: ${ringHits.mkString(",")} != ($expA,$expH)")
+      rows += Row2(s"ring+chord", n, 2 * n, prSec, degSec, prLoad, degLoad,
+        rhSec, rhLoad)
 
       // star: scalar-recurrence closed form, hub skew by construction
       val star = starTriples(spark, n)
@@ -163,7 +193,30 @@ object GraphBench {
         s"star n=$n: hub rank ${hubSpoke(0)} != $expHub")
       require(close(hubSpoke(1).getDouble(0), expSpoke) && hubSpoke(1).getLong(1) == n - 1,
         s"star n=$n: spoke rank ${hubSpoke(1)} != $expSpoke")
-      rows += Row2("star(hub-skew)", n, 2 * (n - 1), starSec, -1.0, starLoad, 0.0)
+      // HITS on the star: 2-class integer closed form; SKIPPED (sec = -1)
+      // when m^T would overflow Int64 — the op's documented score bound
+      val (shSec, shLoad) = starHitsExpected(n) match {
+        case Some((hubScore, spokeAuth, spokeHub)) =>
+          val (classes, sec, load) = measure(spark, selfCpus) {
+            GraphOps.hits(starTriples(spark, n))
+              .groupBy("auth", "hub").agg(count(lit(1)).as("c"))
+              .orderBy(col("c")).collect()
+          }
+          require(classes.length == 2, s"star n=$n: HITS expected 2 classes, got ${classes.length}")
+          require(classes(0).getLong(0) == hubScore && classes(0).getLong(1) == hubScore &&
+            classes(0).getLong(2) == 1L,
+            s"star n=$n: hub HITS ${classes(0)} != ($hubScore,$hubScore,1)")
+          require(classes(1).getLong(0) == spokeAuth && classes(1).getLong(1) == spokeHub &&
+            classes(1).getLong(2) == n - 1,
+            s"star n=$n: spoke HITS ${classes(1)} != ($spokeAuth,$spokeHub,${n - 1})")
+          (sec, load)
+        case None =>
+          println(s"""{"metric":"graph_bench_note","graph":"star","nodes":$n,""" +
+            s""""hits":"skipped: (n-1)^${GraphOps.HitsIters} exceeds Int64 — documented score bound"}""")
+          (-1.0, 0.0)
+      }
+      rows += Row2("star(hub-skew)", n, 2 * (n - 1), starSec, -1.0, starLoad, 0.0,
+        shSec, shLoad)
     }
 
     rows.foreach { r =>
@@ -171,24 +224,31 @@ object GraphBench {
         s""""edges":${r.edges},"cpus":$cpus,"pagerank_sec":${Fmt.f3(r.pagerankSec)}""" +
         s""","pr_ext_load":${Fmt.f2(r.prLoad)}""" +
         (if (r.degreeSec >= 0)
-          s""","degree_sec":${Fmt.f3(r.degreeSec)},"deg_ext_load":${Fmt.f2(r.degLoad)}}"""
+          s""","degree_sec":${Fmt.f3(r.degreeSec)},"deg_ext_load":${Fmt.f2(r.degLoad)}"""
+        else "") +
+        (if (r.hitsSec >= 0)
+          s""","hits_sec":${Fmt.f3(r.hitsSec)},"hits_ext_load":${Fmt.f2(r.hitsLoad)}}"""
         else "}"))
     }
 
     val md = new StringBuilder
     md ++= s"## GraphOps at scale — measured on local[$cpus] (regenerate: `runMain graft.GraphBench`)\n\n"
-    md ++= "PageRank (5 iters) + degree profile over synthetic graphs with closed-form\n"
-    md ++= "expectations, asserted on every row: ring+chord is 2-regular (uniform rank\n"
-    md ++= "exactly 1.0); the star collapses to a 2-variable scalar recurrence (hub's\n"
-    md ++= "n in-edges = partial-agg skew, n out-edges = join skew). Wall times are the\n"
-    md ++= "min of 2 reps; ext_load is the winning rep's contention reading —\n"
+    md ++= "PageRank (5 iters), degree profile, and integer-exact HITS (3 iters) over\n"
+    md ++= "synthetic graphs with closed-form expectations, asserted on every row:\n"
+    md ++= "ring+chord is 2-regular (uniform rank exactly 1.0; HITS auth/hub exactly\n"
+    md ++= "2^(2T-1)/2^(2T)); the star collapses to scalar recurrences (hub's n\n"
+    md ++= "in-edges = partial-agg skew, n out-edges = join skew; HITS classes are\n"
+    md ++= "powers of m = n-1, and rows where m^T would overflow Int64 are SKIPPED —\n"
+    md ++= "the op's documented score bound). Wall times are the min of 2 reps;\n"
+    md ++= "ext_load is the winning rep's contention reading —\n"
     md ++= "max(2 s-sampled loadavg external load, hypervisor steal% converted to\n"
     md ++= "stolen cores of this JVM's parallelism) — nonzero = contaminated window.\n\n"
-    md ++= "| graph | nodes | edges | pagerank (s) | pr ext_load | degrees (s) | deg ext_load |\n|---|---|---|---|---|---|---|\n"
+    md ++= "| graph | nodes | edges | pagerank (s) | pr ext_load | degrees (s) | deg ext_load | hits (s) | hits ext_load |\n|---|---|---|---|---|---|---|---|---|\n"
     rows.foreach { r =>
       md ++= s"| ${r.graph} | ${r.nodes} | ${r.edges} | ${Fmt.f1(r.pagerankSec)} | " +
         s"${Fmt.f2(r.prLoad)} | " +
-        s"${if (r.degreeSec >= 0) s"${Fmt.f1(r.degreeSec)} | ${Fmt.f2(r.degLoad)}" else "— | —"} |\n"
+        s"${if (r.degreeSec >= 0) s"${Fmt.f1(r.degreeSec)} | ${Fmt.f2(r.degLoad)}" else "— | —"} | " +
+        s"${if (r.hitsSec >= 0) s"${Fmt.f1(r.hitsSec)} | ${Fmt.f2(r.hitsLoad)}" else "— (Int64 bound) | —"} |\n"
     }
     Files.createDirectories(Paths.get("BENCH"))
     val out = Paths.get(s"BENCH/GRAPH_BENCH_c$cpus.md")
