@@ -165,6 +165,7 @@ object SparkEntry {
     "kg_nbr_jaccard" -> ((s, dir) => GraphOps.neighborsJaccard(compactedTriples(s, dir))),
     "kg_cooc_pmi" -> ((s, dir) => GraphOps.coocPmi(compactedTriples(s, dir))),
     "kg_hits" -> ((s, dir) => GraphOps.hits(compactedTriples(s, dir))),
+    "kg_communities" -> ((s, dir) => GraphOps.labelProp(compactedTriples(s, dir))),
   )
 
   /** the checkpointed bucketed run's global compaction output (staged once
@@ -992,6 +993,7 @@ object SparkEntry {
     "kg_nbr_jaccard" -> nbrJaccardSql,
     "kg_cooc_pmi" -> coocPmiSql,
     "kg_hits" -> hitsSql,
+    "kg_communities" -> lpaSql,
     "emb_quantize" -> embQuantizeSql,
     "kg_dict" -> s"WITH $dictCtes\nSELECT alias, entity_id, kind, prior FROM dict",
     "kg_canonical_map" -> canonicalSql,
@@ -1387,6 +1389,27 @@ object SparkEntry {
        |$iters
        |SELECT n.id AS entity_id, coalesce(a$t.a, 0) AS auth, coalesce(h$t.h, 0) AS hub
        |FROM nodes n LEFT JOIN a$t ON n.id = a$t.id LEFT JOIN h$t ON n.id = h$t.id""".stripMargin
+  }
+
+  /** [[graft.kg.GraphOps.labelProp]]'s synchronous rounds unrolled — the
+    * same (count desc, label asc) argmax via row_number per round. */
+  private lazy val lpaSql: String = {
+    val t = GraphOps.LpaIters
+    val rounds = (1 to t).map { i =>
+      s"""m$i AS (SELECT s.src AS id, l${i - 1}.label, count(*) AS c FROM sym s
+         |  JOIN l${i - 1} ON s.dst = l${i - 1}.id GROUP BY 1, 2),
+         |l$i AS (SELECT id, label FROM (
+         |  SELECT id, label, row_number() OVER (PARTITION BY id
+         |    ORDER BY c DESC, label) AS rn FROM m$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($coEdgesCte),
+       |sym AS (SELECT src, dst FROM e WHERE src <> dst
+       |  UNION SELECT dst, src FROM e WHERE src <> dst),
+       |l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
+       |$rounds,
+       |sz AS (SELECT label, count(*) AS community_size FROM l$t GROUP BY 1)
+       |SELECT l$t.id AS entity_id, l$t.label AS community, sz.community_size
+       |FROM l$t JOIN sz ON l$t.label = sz.label""".stripMargin
   }
 
   /** [[graft.kg.GraphOps.coocPmi]]: identical integer-exact numerator /

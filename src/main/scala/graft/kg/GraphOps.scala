@@ -321,6 +321,54 @@ object GraphOps {
     out
   }
 
+  /** label-propagation iterations for [[labelProp]]. */
+  val LpaIters = 3
+
+  /** Community detection by SYNCHRONOUS label propagation over the
+    * undirected co-occurrence graph, [[LpaIters]] fixed iterations:
+    * every node starts as its own label; each round it adopts the most
+    * frequent label among its neighbors, ties broken by MINIMUM label.
+    * Fixed synchronous rounds + the deterministic tie-break make the result
+    * a pure function of the graph (classic async LPA is run-order-dependent
+    * — useless against a value oracle), so the DuckDB oracle unrolls the
+    * identical rounds.
+    *
+    * Scale: per round, one equi-join edge⋈labels (keyed by the neighbor —
+    * hub fan-out = its degree, AQE-splittable), a map-side-combined
+    * (node, label) count, and a per-node top-1 window that Spark executes
+    * as WindowGroupLimit (partial top-1 BEFORE the exchange — the same
+    * plan shape as text_tfidf's top-k).
+    */
+  def labelProp(triples: DataFrame): DataFrame = {
+    val e = coEdges(triples)
+    val sym = e.where(col("src") =!= col("dst"))
+      .unionAll(e.where(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("dst")).persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("c").desc, col("label").asc)
+    for (_ <- 1 to LpaIters) {
+      labels = sym.join(labels.withColumnRenamed("id", "nid"),
+          sym("dst") === col("nid"))
+        .groupBy(sym("src").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"), col("label"))
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+    val out = labels.join(sizes, "label")
+      .select(col("id").as("entity_id"), col("label").as("community"),
+        col("community_size"))
+      .persist()
+    out.count()
+    sym.unpersist()
+    out
+  }
+
   /** Pointwise mutual information between co-mentioned entities, from the
     * `mentioned_in` predicate: for entity pairs mentioned together in
     * ≥ [[PmiMinJoint]] documents,

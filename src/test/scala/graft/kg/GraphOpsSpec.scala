@@ -157,6 +157,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.values.exists { case (a, h) => a > 1 && h > 1 })
   }
 
+  test("labelProp: synchronous rounds with min-label tie-break match a driver re-derivation") {
+    import spark.implicits._
+    // two triangles bridged by c-x: communities should coalesce per clique
+    val und = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+    val tri = und.map { case (s, o) => (s, "co_occurs_with", o) }
+      .toDF("subj", "pred", "obj")
+    // dependency-free synchronous LPA
+    val sym = und.flatMap { case (s, o) => Seq(s -> o, o -> s) }.distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to GraphOps.LpaIters) {
+      lab = adj.map { case (v, nbrs) =>
+        val counts = nbrs.map(lab).groupBy(identity).view.mapValues(_.size).toMap
+        val best = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        v -> best
+      }
+    }
+    val sz = lab.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = lab.map { case (v, l) => v -> ((l, sz(l))) }
+    val got = GraphOps.labelProp(tri).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    // sanity: the bridge did not merge everything into one community
+    assert(got.values.map(_._1).toSet.size >= 2)
+  }
+
   test("coocPmi: ln(n_ab·N / (n_a·n_b)) at 4 dp, min-joint filter") {
     import spark.implicits._
     val mi = Seq(
