@@ -294,12 +294,15 @@ object Bench {
     // the last two levels trade query-time precision (1 dp -> whole seconds)
     // and headline detail for fit (an 85-entry integer map with the full
     // headline objects sits at ~1989 B — one 10 s query from overflow)
+    // threshold 1950, not ~2000: the window's true edge is only bracketed
+    // (a 1985 B line was captured whole, a 2004 B one truncated), so stay
+    // safely below the known-good bound rather than at the bracket's middle
     val line = Seq(assemble(hot, hotSteal), assemble("{}", hotSteal),
         assemble("{}", "{}"), assemble("{}", "{}", qs0),
         assemble("{}", "{}", qs0, minHeadlines = true))
-      .find(_.length <= 1990)
+      .find(_.length <= 1950)
       .getOrElse(assemble("{}", "{}", qs0, minHeadlines = true))
-    if (line.length > 1990)
+    if (line.length > 1950)
       System.err.println(s"[bench] WARNING: result line ${line.length} B exceeds the " +
         "driver's ~2000 B tail window; per-query timings may truncate")
     // full-precision sidecar (not size-bounded): every per-query ext_load,
