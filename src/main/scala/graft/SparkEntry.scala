@@ -166,6 +166,7 @@ object SparkEntry {
     "kg_cooc_pmi" -> ((s, dir) => GraphOps.coocPmi(compactedTriples(s, dir))),
     "kg_hits" -> ((s, dir) => GraphOps.hits(compactedTriples(s, dir))),
     "kg_communities" -> ((s, dir) => GraphOps.labelProp(compactedTriples(s, dir))),
+    "kg_bfs" -> ((s, dir) => GraphOps.bfsDistances(compactedTriples(s, dir))),
   )
 
   /** the checkpointed bucketed run's global compaction output (staged once
@@ -994,6 +995,7 @@ object SparkEntry {
     "kg_cooc_pmi" -> coocPmiSql,
     "kg_hits" -> hitsSql,
     "kg_communities" -> lpaSql,
+    "kg_bfs" -> bfsSql,
     "emb_quantize" -> embQuantizeSql,
     "kg_dict" -> s"WITH $dictCtes\nSELECT alias, entity_id, kind, prior FROM dict",
     "kg_canonical_map" -> canonicalSql,
@@ -1410,6 +1412,25 @@ object SparkEntry {
        |sz AS (SELECT label, count(*) AS community_size FROM l$t GROUP BY 1)
        |SELECT l$t.id AS entity_id, l$t.label AS community, sz.community_size
        |FROM l$t JOIN sz ON l$t.label = sz.label""".stripMargin
+  }
+
+  /** [[graft.kg.GraphOps.bfsDistances]]: the same frontier levels unrolled,
+    * same hub tie-break, min-dist collapse at the end. */
+  private lazy val bfsSql: String = {
+    val t = GraphOps.BfsDepth
+    val levels = (1 to t).map { i =>
+      s"""r$i AS (SELECT DISTINCT r${i - 1}.root, e.dst AS node, $i AS dist
+         |  FROM r${i - 1} JOIN e ON e.src = r${i - 1}.node)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to t).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+    s"""WITH e AS ($coEdgesCte),
+       |hubs AS (SELECT src AS root FROM e GROUP BY src
+       |  ORDER BY count(*) DESC, src LIMIT ${GraphOps.BfsHubs}),
+       |r0 AS (SELECT root, root AS node, 0 AS dist FROM hubs),
+       |$levels,
+       |lvls AS ($unions)
+       |SELECT root, node AS entity_id, CAST(min(dist) AS INT) AS dist
+       |FROM lvls GROUP BY 1, 2""".stripMargin
   }
 
   /** [[graft.kg.GraphOps.coocPmi]]: identical integer-exact numerator /

@@ -321,6 +321,46 @@ object GraphOps {
     out
   }
 
+  /** BFS roots (top hubs) and depth bound for [[bfsDistances]]. */
+  val BfsHubs = 5
+  val BfsDepth = 3
+
+  /** Shortest-hop distances (≤ [[BfsDepth]]) from the top-[[BfsHubs]]
+    * out-degree hubs, by frontier-expansion BFS — the "how far is
+    * everything from the core entities" traversal a KG consumer runs for
+    * influence radii and ego networks. Deterministic hub pick: out-degree
+    * desc, entity id asc (the [[twoHop]] tie-break).
+    *
+    * Each level is one equi-join frontier⋈edges (keyed by the frontier
+    * node) + a distinct; the final min-dist groupBy collapses multi-path
+    * rediscoveries. Levels are NOT pruned against the visited set — at a
+    * fixed small depth the per-level distinct already bounds rows at
+    * roots×|V|, and skipping the visited anti-join saves a shuffle per
+    * level (the min-agg dedups at the end). All shapes AQE-splittable.
+    */
+  def bfsDistances(triples: DataFrame): DataFrame = {
+    val e = coEdges(triples)
+    val hubs = e.groupBy(col("src").as("root")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("root")).limit(BfsHubs)
+      .select(col("root"))
+    var reach = broadcast(hubs)
+      .select(col("root"), col("root").as("node"), lit(0).as("dist"))
+    var frontier = reach
+    for (d <- 1 to BfsDepth) {
+      // re-alias BOTH sides each level: from level 2 on, frontier's lineage
+      // already contains e, so dataset-tagged references to e's columns trip
+      // the ambiguous-self-join check — fresh aliases give unique exprIds
+      val f = frontier.select(col("root").as("f_root"), col("node").as("f_node"))
+      val er = e.select(col("src").as("e_src"), col("dst").as("e_dst"))
+      frontier = f.join(er, col("f_node") === col("e_src"))
+        .select(col("f_root").as("root"), col("e_dst").as("node"), lit(d).as("dist"))
+        .distinct()
+      reach = reach.unionAll(frontier)
+    }
+    reach.groupBy(col("root"), col("node").as("entity_id"))
+      .agg(min(col("dist")).as("dist"))
+  }
+
   /** label-propagation iterations for [[labelProp]]. */
   val LpaIters = 3
 

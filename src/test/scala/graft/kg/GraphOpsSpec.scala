@@ -157,6 +157,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.values.exists { case (a, h) => a > 1 && h > 1 })
   }
 
+  test("bfsDistances: min-hop levels from top hubs match a driver BFS; sink 't' never roots") {
+    import spark.implicits._
+    // add s → t so there is a sink (t has no out-edges, must never be a
+    // root) and a node at distance >1 from some roots
+    val dirEdges = edges :+ ("s" -> "t")
+    val tri = dirEdges.map { case (s, o) => (s, "co_occurs_with", o) }
+      .toDF("subj", "pred", "obj")
+    val adj = dirEdges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // hub pick: out-degree desc, id asc, top BfsHubs (all 4 sources here)
+    val roots = adj.toSeq.map { case (v, ns) => (v, ns.size) }
+      .sortBy { case (v, d) => (-d, v) }.take(GraphOps.BfsHubs).map(_._1)
+    val expect = roots.flatMap { r =>
+      var dist = Map(r -> 0)
+      var frontier = Set(r)
+      for (d <- 1 to GraphOps.BfsDepth) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+        dist ++= frontier.map(_ -> d)
+      }
+      dist.map { case (n, d) => (r, n) -> d }
+    }.toMap
+    val got = GraphOps.bfsDistances(tri).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(got == expect)
+    assert(!got.keys.exists(_._1 == "t"))             // sinks never root
+    assert(got(("s", "t")) == 1 && got(("a", "a")) == 0)
+  }
+
   test("labelProp: synchronous rounds with min-label tie-break match a driver re-derivation") {
     import spark.implicits._
     // two triangles bridged by c-x: communities should coalesce per clique
