@@ -166,7 +166,7 @@ object GraphBench {
         degAgg.getLong(2) == 2 && degAgg.getLong(3) == 2 && degAgg.getLong(4) == n,
         s"ring n=$n: degree closed form violated: $degAgg")
       val (ringHits, rhSec, rhLoad) = measure(spark, selfCpus) {
-        GraphOps.hits(ringChordTriples(spark, n))
+        GraphOps.hits(ring)
           .select("auth", "hub").distinct().collect()
       }
       val (expA, expH) = ringHitsExpected
@@ -198,7 +198,7 @@ object GraphBench {
       val (shSec, shLoad) = starHitsExpected(n) match {
         case Some((hubScore, spokeAuth, spokeHub)) =>
           val (classes, sec, load) = measure(spark, selfCpus) {
-            GraphOps.hits(starTriples(spark, n))
+            GraphOps.hits(star)
               .groupBy("auth", "hub").agg(count(lit(1)).as("c"))
               .orderBy(col("c")).collect()
           }

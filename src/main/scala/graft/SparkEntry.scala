@@ -1284,6 +1284,13 @@ object SparkEntry {
   private lazy val coEdgesCte =
     s"SELECT subj AS src, obj AS dst FROM $goldTriplesSrc WHERE pred = 'co_occurs_with'"
 
+  /** symmetric self-loop-free view of `e` — [[graft.kg.GraphOps]]'
+    * `symEdges` mirrored once, consumed by the components / neighborhood /
+    * community oracles. */
+  private lazy val symCte =
+    """sym AS (SELECT src, dst FROM e WHERE src <> dst
+      |  UNION SELECT dst, src FROM e WHERE src <> dst)""".stripMargin
+
   private lazy val degreeSql =
     s"""WITH e AS ($coEdgesCte),
        |o AS (SELECT src AS entity_id, count(*) AS out_degree FROM e GROUP BY 1),
@@ -1347,8 +1354,7 @@ object SparkEntry {
     * by exhaustive reachability instead of star contraction / union-find. */
   private lazy val componentsSql =
     s"""WITH RECURSIVE e AS ($coEdgesCte),
-       |sym AS (SELECT src, dst FROM e WHERE src <> dst
-       |  UNION SELECT dst, src FROM e WHERE src <> dst),
+       |$symCte,
        |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
        |r(id, lab) AS (
        |  SELECT id, id FROM nodes
@@ -1362,8 +1368,7 @@ object SparkEntry {
     * Jaccard, same cap and rounded-threshold semantics. */
   private lazy val nbrJaccardSql =
     s"""WITH e AS ($coEdgesCte),
-       |sym AS (SELECT src, dst FROM e WHERE src <> dst
-       |  UNION SELECT dst, src FROM e WHERE src <> dst),
+       |$symCte,
        |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1),
        |nb AS (SELECT s.src AS id, s.dst AS nbr FROM sym s
        |  JOIN deg ON deg.id = s.dst WHERE deg.d <= ${GraphOps.MaxWedgeDeg}),
@@ -1405,8 +1410,7 @@ object SparkEntry {
          |    ORDER BY c DESC, label) AS rn FROM m$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS ($coEdgesCte),
-       |sym AS (SELECT src, dst FROM e WHERE src <> dst
-       |  UNION SELECT dst, src FROM e WHERE src <> dst),
+       |$symCte,
        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
        |$rounds,
        |sz AS (SELECT label, count(*) AS community_size FROM l$t GROUP BY 1)

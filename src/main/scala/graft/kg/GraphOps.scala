@@ -243,12 +243,17 @@ object GraphOps {
     * keyed by the shared neighbor, whose fan-out the cap bounds, so no AQE
     * skew handling is even needed.
     */
-  def neighborsJaccard(triples: DataFrame): DataFrame = {
-    val e = coEdges(triples)
-    val sym = e.where(col("src") =!= col("dst"))
+  /** undirected (symmetric, self-loop-free, distinct) view of an edge list —
+    * shared by the neighborhood/community ops; mirrored by the oracles'
+    * `sym` CTE. */
+  private def symEdges(e: DataFrame): DataFrame =
+    e.where(col("src") =!= col("dst"))
       .unionAll(e.where(col("src") =!= col("dst"))
         .select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+
+  def neighborsJaccard(triples: DataFrame): DataFrame = {
+    val sym = symEdges(coEdges(triples))
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
     // neighbor lists restricted to low-degree neighbors; nb feeds the sizes
     // aggregate and both wedge sides — persist so the sym+deg join runs once
@@ -380,11 +385,7 @@ object GraphOps {
     * plan shape as text_tfidf's top-k).
     */
   def labelProp(triples: DataFrame): DataFrame = {
-    val e = coEdges(triples)
-    val sym = e.where(col("src") =!= col("dst"))
-      .unionAll(e.where(col("src") =!= col("dst"))
-        .select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val sym = symEdges(coEdges(triples))
       .repartition(col("dst")).persist()
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
