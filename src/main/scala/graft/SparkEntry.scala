@@ -456,6 +456,9 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) => TextOps.tfidf(s, dir)),
     "doc_sample" -> ((s, dir) => TextOps.sampleStratified(s, dir)),
     "dedup_windows" -> ((s, dir) => TextOps.windowDedup(s, dir)),
+    "text_decontam" -> ((s, dir) => TextOps.decontam(s, dir)),
+    "text_lang_temp" -> ((s, dir) => TextOps.langTemp(s, dir)),
+    "doc_pack" -> ((s, dir) => TextOps.pack(s, dir)),
     "dedup_clusters" -> ((s, dir) => Dedup.clusters(s, dir)),
     "dedup_exact_stream" -> ((s, dir) => Streaming.dedupExactStream(s, dir)),
     // REAL decode paths throughout (r5): features + frame sampling run
@@ -759,6 +762,9 @@ object SparkEntry {
         |    CASE WHEN doc_id % 5 = 0 THEN ' <IP>' ELSE '' END) AS redacted_md5
         |FROM documents""".stripMargin,
     "dedup_windows" -> windowDedupSql,
+    "text_decontam" -> decontamSql,
+    "text_lang_temp" -> langTempSql,
+    "doc_pack" -> docPackSql,
     "text_tfidf" -> tfidfSql,
     // deterministic stratified sample: same md5-hex-digit keep rule
     "doc_sample" ->
@@ -1522,6 +1528,69 @@ object SparkEntry {
        |  coalesce(n_dup_windows, 0) AS n_dup_windows,
        |  round(coalesce(CAST(n_dup_windows AS DOUBLE) / n_windows, 0), 6) AS dup_win_frac
        |FROM documents b LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** [[graft.ops.TextOps.decontam]]: same gram construction (distinct
+    * 8-token grams, stride 1), same deterministic benchmark split
+    * (doc_id % DecontamEvery == 0), set-intersect counted on distinct
+    * grams on both engines. */
+  private lazy val decontamSql = {
+    val k = TextOps.DecontamGram
+    val m = TextOps.DecontamEvery
+    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(0, len(toks) - $k),
+       |    i -> array_to_string(toks[i+1:i+$k], ' '))) AS grams
+       |  FROM d WHERE len(toks) >= $k
+       |  UNION ALL
+       |  SELECT doc_id, CAST([] AS VARCHAR[]) FROM d WHERE len(toks) < $k),
+       |e AS (SELECT list_distinct(flatten(list(grams))) AS eval_grams
+       |  FROM g WHERE doc_id % $m = 0)
+       |SELECT doc_id, len(grams) AS n_grams,
+       |  len(list_intersect(grams, eval_grams)) AS n_contam_grams,
+       |  CASE WHEN len(list_intersect(grams, eval_grams)) > 0 THEN 1 ELSE 0 END
+       |    AS contaminated
+       |FROM g CROSS JOIN e WHERE doc_id % $m <> 0""".stripMargin
+  }
+
+  /** [[graft.ops.TextOps.langTemp]]: up_weight / expected_docs derive from
+    * the 6-dp-ROUNDED p and q on both engines, so float parity rests only
+    * on the two base roundings. */
+  private lazy val langTempSql =
+    s"""WITH bl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+       |t AS (SELECT sum(n_docs) AS n_total FROM bl),
+       |w AS (SELECT lang, n_docs, n_docs / n_total AS p,
+       |  pow(n_docs / n_total, ${TextOps.TempAlpha}) AS pa, n_total
+       |  FROM bl CROSS JOIN t),
+       |z AS (SELECT sum(pa) AS z FROM w),
+       |r AS (SELECT lang, n_docs, round(p, 6) AS p6, round(pa / z, 6) AS q6, n_total
+       |  FROM w CROSS JOIN z)
+       |SELECT lang, n_docs, p6 AS p, q6 AS q,
+       |  round(q6 / p6, 6) AS up_weight,
+       |  round(q6 * n_total, 2) AS expected_docs
+       |FROM r""".stripMargin
+
+  /** [[graft.ops.TextOps.pack]]: the same next-fit recurrence, expressed as
+    * a recursive CTE stepping through each group's doc_id order (the
+    * fixpoint is per-group sequential, so row `pos` depends only on row
+    * `pos - 1` — depth = PackGroup). */
+  private lazy val docPackSql = {
+    val cap = TextOps.PackCap
+    val grpW = TextOps.PackGroup
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, doc_id // $grpW AS grp,
+       |    len(regexp_split_to_array(text, '\\s+')) AS ntok,
+       |    row_number() OVER (PARTITION BY doc_id // $grpW ORDER BY doc_id) AS pos
+       |  FROM documents),
+       |r AS (
+       |  SELECT grp, pos, doc_id, ntok, 0 AS bin, ntok AS fill
+       |  FROM d WHERE pos = 1
+       |  UNION ALL
+       |  SELECT d.grp, d.pos, d.doc_id, d.ntok,
+       |    CASE WHEN r.fill + d.ntok > $cap THEN r.bin + 1 ELSE r.bin END,
+       |    CASE WHEN r.fill + d.ntok > $cap THEN d.ntok ELSE r.fill + d.ntok END
+       |  FROM r JOIN d ON d.grp = r.grp AND d.pos = r.pos + 1)
+       |SELECT doc_id, grp, ntok AS n_tokens, CAST(bin AS INT) AS bin FROM r""".stripMargin
+  }
 
   /** [[graft.ops.TextOps.tfidf]]: identical tokenization, identical 6-dp
     * pre-rounding of the ranking key (raw-double ordering could differ in

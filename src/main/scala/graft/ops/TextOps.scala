@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline: language ID
@@ -294,5 +295,141 @@ object TextOps {
     out.count()
     tf.unpersist()
     out
+  }
+
+  // --------------------------------------- benchmark decontamination
+
+  /** contamination-gram order (tokens) and benchmark-split modulus for
+    * [[decontam]]: every `DecontamEvery`-th doc is the held-out "benchmark"
+    * split whose grams must not leak into the training split. */
+  val DecontamGram = 8
+  val DecontamEvery = 20
+
+  /** distinct [[DecontamGram]]-token grams per document (stride 1), as an
+    * array column — empty for docs shorter than the gram order. */
+  private def gramArray: Column = {
+    val gram = (0 until DecontamGram).map(j => s"toks[i + $j]")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    when(size(col("toks")) >= DecontamGram,
+      expr(s"array_distinct(transform(sequence(0, size(toks) - $DecontamGram), i -> $gram))"))
+      .otherwise(expr("cast(array() as array<string>)"))
+  }
+
+  /** GPT-3/Llama-style benchmark decontamination (Brown et al. 2020
+    * appendix C; Touvron et al. 2023 §5): flag training documents that share
+    * any [[DecontamGram]]-token gram with a held-out benchmark split, so
+    * contaminated docs can be dropped before pretraining. The benchmark
+    * split here is deterministic (doc_id % [[DecontamEvery]] == 0) so the
+    * op needs no external data.
+    *
+    * Scale shape — the part that matters at 100 TB: the benchmark gram set
+    * is tiny relative to the corpus (eval suites are MBs, corpora are TBs),
+    * so it is collapsed to ONE row and broadcast; the training side is a
+    * single codegen'd projection (gram array + array_intersect against the
+    * broadcast set) with ZERO shuffle of corpus data — the
+    * BroadcastNestedLoopJoin against a 1-row build side is map-only. With a
+    * benchmark set too large for one array row you'd switch to a broadcast
+    * hash join on the gram key (still map-only on the corpus) or a Bloom
+    * filter; the corpus-side shape is unchanged.
+    */
+  def decontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val based = docsDf(spark, sfDir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), gramArray.as("grams"))
+    val evalGrams = based.where(col("doc_id") % DecontamEvery === 0)
+      .select(explode(col("grams")).as("gram"))
+      .agg(sort_array(collect_set(col("gram"))).as("eval_grams"))
+    based.where(col("doc_id") % DecontamEvery =!= 0)
+      .crossJoin(broadcast(evalGrams))
+      .select(col("doc_id"),
+        size(col("grams")).as("n_grams"),
+        size(array_intersect(col("grams"), col("eval_grams"))).as("n_contam_grams"))
+      .withColumn("contaminated",
+        (col("n_contam_grams") > 0).cast("int"))
+  }
+
+  // ------------------------------- temperature language resampling
+
+  /** sampling temperature α for [[langTemp]] (XLM-R's α = 0.3). */
+  val TempAlpha = 0.3
+
+  /** Temperature-based language resampling weights (Conneau et al. 2020
+    * §3.1 / Devlin et al. 2019 multilingual notes): q_l ∝ p_l^α flattens
+    * the language distribution so low-resource languages are upsampled.
+    * Emits, per language: observed share p, target share q, the up/down
+    * sampling multiplier q/p, and the expected post-resampling doc count.
+    *
+    * Both engines derive the multiplier and expected count from the SAME
+    * 6-dp-rounded p and q (not the raw doubles), so cross-engine float
+    * parity rests only on the two base roundings.
+    *
+    * Scale: one map-side-combined groupBy(lang) over the corpus (languages
+    * number in the hundreds — the post-agg table is driver-trivial at any
+    * corpus size); the two scalar totals join back via 1-row broadcasts.
+    */
+  def langTemp(spark: SparkSession, sfDir: String): DataFrame = {
+    // the corpus is scanned ONCE (the groupBy); the two scalar totals are
+    // unpartitioned window sums over the post-agg table, which is bounded
+    // by the number of languages (hundreds at most) — re-deriving them via
+    // self-joins would rescan the corpus per total
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    docsDf(spark, sfDir).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_total", sum("n_docs").over(all))
+      .withColumn("p", col("n_docs") / col("n_total"))
+      .withColumn("pa", pow(col("p"), TempAlpha))
+      .withColumn("z", sum("pa").over(all))
+      .withColumn("p6", round(col("p"), 6))
+      .withColumn("q6", round(col("pa") / col("z"), 6))
+      .select(col("lang"), col("n_docs"),
+        col("p6").as("p"), col("q6").as("q"),
+        round(col("q6") / col("p6"), 6).as("up_weight"),
+        round(col("q6") * col("n_total"), 2).as("expected_docs"))
+  }
+
+  // ----------------------------------------- sequence packing
+
+  /** context-window capacity (tokens) and packing-group width (consecutive
+    * docs) for [[pack]]. */
+  val PackCap = 256
+  val PackGroup = 16
+
+  /** Next-fit sequence packing (Krell et al. 2021 "Efficient Sequence
+    * Packing"; the fill step of every LLM pretraining loader): pack
+    * documents into [[PackCap]]-token context windows, opening a new window
+    * when the next doc would overflow the current one. Packing is a
+    * sequential fold, so it is made deterministic AND distributed by
+    * restricting the fold to doc_id-contiguous groups of [[PackGroup]]
+    * docs: group boundaries are pure doc_id arithmetic, so any engine, any
+    * partitioning, any run packs identically.
+    *
+    * Scale shape: one shuffle keyed by grp (uniform by construction — every
+    * group holds exactly [[PackGroup]] consecutive docs), then the next-fit
+    * fold runs as a codegen'd `aggregate()` higher-order function over each
+    * group's sorted (doc_id, ntok) array — bounded at [[PackGroup]] elements
+    * per row, no driver loop, no UDF. Emits (doc_id, grp, n_tokens, bin):
+    * bin is the window index within the group.
+    */
+  def pack(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docsDf(spark, sfDir).select(col("doc_id"),
+      expr(s"doc_id DIV $PackGroup").as("grp"),
+      size(toks).as("ntok"))
+    val grouped = d.groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("ntok")))).as("docs"))
+    // next-fit fold: acc.fill starts at PackCap so the first doc always
+    // opens bin 0 (acc.bin starts at -1)
+    val packed = grouped.select(col("grp"), col("docs"), expr(
+      s"""aggregate(docs,
+         |  named_struct('bin', -1, 'fill', $PackCap, 'bins', cast(array() as array<int>)),
+         |  (acc, x) -> IF(acc.fill + x.ntok > $PackCap,
+         |    named_struct('bin', acc.bin + 1, 'fill', x.ntok,
+         |      'bins', concat(acc.bins, array(acc.bin + 1))),
+         |    named_struct('bin', acc.bin, 'fill', acc.fill + x.ntok,
+         |      'bins', concat(acc.bins, array(acc.bin)))),
+         |  acc -> acc.bins)""".stripMargin).as("bins"))
+    packed.select(col("grp"), explode(arrays_zip(col("docs"), col("bins"))).as("z"))
+      .select(col("z.docs.doc_id").as("doc_id"), col("grp"),
+        col("z.docs.ntok").as("n_tokens"), col("z.bins").as("bin"))
   }
 }

@@ -619,4 +619,75 @@ class OpsSpec extends AnyFunSuite {
       .toMap
     assert(got == expect)
   }
+
+  test("decontam: gram-overlap counts match a plain-Scala set intersection; eval docs excluded") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    def grams(toks: Seq[String]): Set[String] =
+      if (toks.length < TextOps.DecontamGram) Set.empty
+      else toks.sliding(TextOps.DecontamGram).map(_.mkString(" ")).toSet
+    val evalGrams = docs.collect {
+      case (id, t) if id % TextOps.DecontamEvery == 0 => grams(t)
+    }.foldLeft(Set.empty[String])(_ ++ _)
+    val got = TextOps.decontam(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    val trainIds = docs.keySet.filter(_ % TextOps.DecontamEvery != 0)
+    assert(got.keySet == trainIds, "exactly the training split is emitted")
+    got.foreach { case (id, (nGrams, nHits, flag)) =>
+      val g = grams(docs(id))
+      assert(nGrams == g.size, s"doc $id n_grams")
+      assert(nHits == (g & evalGrams).size, s"doc $id n_contam_grams")
+      assert(flag == (if (nHits > 0) 1 else 0), s"doc $id flag")
+    }
+  }
+
+  test("langTemp: temperature weights match a plain-Scala recount; low-resource langs upweighted") {
+    val langs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang").collect().map(_.getString(0))
+    val n = langs.length.toDouble
+    val counts = langs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z = counts.values.map(c => math.pow(c / n, TextOps.TempAlpha)).sum
+    val got = TextOps.langTemp(spark, sfDir).collect()
+      .map(row => row.getString(0) ->
+        ((row.getLong(1), row.getDouble(2), row.getDouble(3), row.getDouble(4), row.getDouble(5))))
+      .toMap
+    assert(got.keySet == counts.keySet)
+    counts.foreach { case (lang, c) =>
+      val p6 = r(c / n, 6)
+      val q6 = r(math.pow(c / n, TextOps.TempAlpha) / z, 6)
+      assert(got(lang) == ((c, p6, q6, r(q6 / p6, 6), r(q6 * n, 2))), s"lang $lang")
+    }
+    // α<1 flattens: the most-frequent language must be downweighted, the
+    // least-frequent upweighted
+    val maxLang = counts.maxBy(_._2)._1
+    val minLang = counts.minBy(_._2)._1
+    assert(got(maxLang)._4 < 1.0 && got(minLang)._4 > 1.0)
+  }
+
+  test("doc_pack: bins match a plain-Scala next-fit fold; no window overflows") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").length).toMap
+    val expect = docs.toSeq.sortBy(_._1).groupBy(_._1 / TextOps.PackGroup).flatMap {
+      case (_, group) =>
+        var bin = -1
+        var fill = TextOps.PackCap
+        group.sortBy(_._1).map { case (id, ntok) =>
+          if (fill + ntok > TextOps.PackCap) { bin += 1; fill = ntok }
+          else fill += ntok
+          id -> bin
+        }
+    }
+    val rows = TextOps.pack(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val got = rows.map(t => t._1 -> t._4).toMap
+    assert(got == expect)
+    // every emitted window's total tokens fits the capacity (unless a
+    // single doc alone exceeds it, which this corpus never does)
+    rows.groupBy(t => (t._2, t._4)).foreach { case ((grp, bin), members) =>
+      assert(members.map(_._3).sum <= TextOps.PackCap, s"grp $grp bin $bin overflows")
+    }
+  }
 }
