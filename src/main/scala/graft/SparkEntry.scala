@@ -489,6 +489,14 @@ object SparkEntry {
       val stage = KgStage.stage(s, dir)
       Multimodal.decodePng(s, s"$stage/media_png.parquet")
     }),
+    // pixel-level dedup across byte-different lossless encodings: the hash
+    // passes only if distributed decoding maps BOTH containers of every
+    // asset (and the cross-asset pixel copies) onto the stage-time
+    // pre-encode digests
+    "mm_dedup_pixels" -> ((s, dir) => {
+      val stage = KgStage.stage(s, dir)
+      Multimodal.dedupPixels(s, s"$stage/media_variants.parquet")
+    }),
   )
 
   // -------------------------------------------------------------- oracle
@@ -1060,6 +1068,17 @@ object SparkEntry {
     "mm_decode_png" ->
       s"""SELECT media_ref, width, height, pixel_md5
          |FROM read_parquet('$KgPath/media_png.parquet/*.parquet')""".stripMargin,
+    "mm_dedup_pixels" ->
+      s"""WITH v AS (SELECT media_ref, variant, pixel_md5
+         |  FROM read_parquet('$KgPath/media_dedup.parquet/*.parquet')),
+         |g AS (SELECT pixel_md5, count(*) AS n_copies,
+         |  count(DISTINCT media_ref) AS n_assets,
+         |  min(media_ref || '#' || variant) AS keeper
+         |  FROM v GROUP BY 1)
+         |SELECT media_ref, variant, pixel_md5, n_copies, n_assets,
+         |  CASE WHEN media_ref || '#' || variant = keeper THEN 1 ELSE 0 END
+         |    AS is_keeper
+         |FROM v JOIN g USING (pixel_md5)""".stripMargin,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_ivf_indexed" -> annIvfSql,

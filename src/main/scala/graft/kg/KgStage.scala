@@ -32,7 +32,7 @@ object KgStage {
   /** bump when the staged derivation changes — part of the signature so old
     * stage dirs regenerate
     */
-  val Version = "kg-v9" // v9: + media_tiff/media_frames/media_resize (real multi-page TIFF payloads + pre-encode feature/frame/resize expectations); v8: + ctx_docs_bucketed.parquet (article-clustered N12 layout); v7: + media_png.parquet (real ImageIO-encoded payloads + expected decode results)
+  val Version = "kg-v10" // v10: + media_variants/media_dedup (two byte-different lossless encodings per asset + pixel-duplicate classes, pre-encode pixel digests); v9: + media_tiff/media_frames/media_resize (real multi-page TIFF payloads + pre-encode feature/frame/resize expectations); v8: + ctx_docs_bucketed.parquet (article-clustered N12 layout); v7: + media_png.parquet (real ImageIO-encoded payloads + expected decode results)
 
   /** Full-corpus sequential golds are staged only when the corpus is small
     * enough that the driver-side re-derivation stays cheap (the driver's
@@ -141,6 +141,32 @@ object KgStage {
     }).toDF("media_ref", "n_frames", "frame_idx", "frame_md5")
       .coalesce(1).write.mode("overwrite")
       .parquet(dir.resolve("media_frames.parquet").toString)
+
+    // --- media_variants + media_dedup: pixel-dedup fixtures. Every asset is
+    //     encoded TWICE losslessly (PNG and single-frame TIFF — byte-
+    //     different containers, identical pixels), and ~1/4 of assets render
+    //     a shared canonical image instead of their own (pixel duplicates
+    //     across DIFFERENT media_refs — the re-encoded-copy case pixel dedup
+    //     exists to catch). media_dedup records the PRE-ENCODE pixel digest
+    //     per (asset, variant); mm_dedup_pixels must reproduce it from the
+    //     payload bytes alone.
+    val variantGen = parMap(mediaRefs) { ref =>
+      val codec = graft.ops.Multimodal.ImageCodec
+      val k = graft.core.Rng.streamKey(s"pixdup#$ref")
+      val pixSrc = if ((k & 3) == 0) s"__pixcanon${(k >>> 2) & 3}" else ref
+      val img = codec.genImage(pixSrc)
+      val md5 = codec.pixelMd5(img)
+      Seq((ref, "png", codec.pngBytes(img), md5),
+        (ref, "tiff", graft.ops.Multimodal.FrameCodec.tiffBytes(Seq(img)), md5))
+    }.flatten
+    spark.createDataset(variantGen.map(v => (v._1, v._2, v._3)))
+      .toDF("media_ref", "variant", "payload")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("media_variants.parquet").toString)
+    spark.createDataset(variantGen.map(v => (v._1, v._2, v._4)))
+      .toDF("media_ref", "variant", "pixel_md5")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("media_dedup.parquet").toString)
 
     // --- gold_mentions: GoldRef over the eval slice (first EvalSliceDocs by
     //     doc_id), model built on the slice exactly like Eval.evalSlice

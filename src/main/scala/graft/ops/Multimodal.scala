@@ -305,6 +305,44 @@ object Multimodal {
       }).toDF()
   }
 
+  final case class VariantRow(media_ref: String, variant: String, payload: Array[Byte])
+  final case class VariantDecoded(media_ref: String, variant: String, pixel_md5: String)
+
+  /** Pixel-level media dedup over the staged variants table: decodes every
+    * payload (`ImageIO.read` sniffs the container, so the PNG and TIFF
+    * variants go through the same code path), digests the RAW pixels, and
+    * groups by the digest — catching byte-different re-encodes and
+    * cross-asset pixel copies that byte/hash dedup (dedup_exact on payload
+    * md5) structurally cannot. Emits one row per payload with its duplicate
+    * group's size, distinct-asset count, and a deterministic keeper flag
+    * (lexicographic min of media_ref#variant).
+    *
+    * Scale shape: decode is mapPartitions over the widened payload scan
+    * (zero shuffle); the group stats are ONE two-phase hash aggregation
+    * keyed by the pixel digest (uniform — a crypto hash); the join back is
+    * keyed by the same digest so the exchange is reused, and a
+    * pathologically hot digest (one image in millions of copies) is AQE
+    * skew-split. Payload bytes never shuffle — only (ref, variant, digest)
+    * triples do.
+    */
+  def dedupPixels(spark: SparkSession, variantsTable: String): DataFrame = {
+    import spark.implicits._
+    val decoded = widened(spark.read.parquet(variantsTable)
+      .select(col("media_ref"), col("variant"), col("payload"))).as[VariantRow]
+      .mapPartitions(_.map { r =>
+        VariantDecoded(r.media_ref, r.variant, ImageCodec.decodePng(r.payload).pixel_md5)
+      }).toDF()
+    val groups = decoded.groupBy("pixel_md5")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct("media_ref").as("n_assets"),
+        min(concat_ws("#", col("media_ref"), col("variant"))).as("keeper"))
+    decoded.join(groups, Seq("pixel_md5"))
+      .select(col("media_ref"), col("variant"), col("pixel_md5"),
+        col("n_copies"), col("n_assets"),
+        (concat_ws("#", col("media_ref"), col("variant")) === col("keeper"))
+          .cast("int").as("is_keeper"))
+  }
+
   /** the box side mm_resize fits into — smaller than most staged assets
     * (4..19 px), so real downscales happen; shared with the stage-time
     * expectation

@@ -666,6 +666,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got(maxLang)._4 < 1.0 && got(minLang)._4 > 1.0)
   }
 
+  test("pixel dedup: byte-different encodings collapse; cross-asset copies group; recount agrees") {
+    val stage = graft.kg.KgStage.stage(spark, sfDir)
+    val payloads = spark.read.parquet(s"$stage/media_variants.parquet").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Array[Byte]]("payload")).toMap
+    val refs = payloads.keySet.map(_._1)
+    refs.foreach { ref =>
+      assert(!java.util.Arrays.equals(payloads((ref, "png")), payloads((ref, "tiff"))),
+        s"$ref: the two lossless containers must be byte-different")
+    }
+    val got = Multimodal.dedupPixels(spark, s"$stage/media_variants.parquet").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(got.keySet == payloads.keySet)
+    // the decoded digests must equal the stage-time PRE-ENCODE digests, and
+    // the group stats must match a plain-Scala recount over them
+    val want = spark.read.parquet(s"$stage/media_dedup.parquet").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val byMd5 = want.toSeq.groupBy(_._2)
+    got.foreach { case (key, (md5, nCopies, nAssets, isKeeper)) =>
+      assert(md5 == want(key), s"$key decoded digest")
+      val members = byMd5(md5).map(_._1)
+      assert(nCopies == members.size.toLong, s"$key n_copies")
+      assert(nAssets == members.map(_._1).distinct.size.toLong, s"$key n_assets")
+      val keeper = members.map(m => s"${m._1}#${m._2}").min
+      assert(isKeeper == (if (s"${key._1}#${key._2}" == keeper) 1 else 0), s"$key keeper")
+    }
+    // both variants of one asset always share a group (lossless round-trip)
+    refs.foreach { ref =>
+      assert(got((ref, "png"))._1 == got((ref, "tiff"))._1, s"$ref variants must collapse")
+    }
+    // the canonical-image classes create TRUE cross-asset duplicates
+    assert(got.values.exists(_._3 >= 2), "expected at least one cross-asset duplicate group")
+  }
+
   test("doc_pack: bins match a plain-Scala next-fit fold; no window overflows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
