@@ -167,6 +167,7 @@ object SparkEntry {
     "kg_hits" -> ((s, dir) => GraphOps.hits(compactedTriples(s, dir))),
     "kg_communities" -> ((s, dir) => GraphOps.labelProp(compactedTriples(s, dir))),
     "kg_bfs" -> ((s, dir) => GraphOps.bfsDistances(compactedTriples(s, dir))),
+    "kg_kcore" -> ((s, dir) => GraphOps.kcore(compactedTriples(s, dir))),
   )
 
   /** the checkpointed bucketed run's global compaction output (staged once
@@ -1010,6 +1011,7 @@ object SparkEntry {
     "kg_hits" -> hitsSql,
     "kg_communities" -> lpaSql,
     "kg_bfs" -> bfsSql,
+    "kg_kcore" -> kcoreSql,
     "emb_quantize" -> embQuantizeSql,
     "kg_dict" -> s"WITH $dictCtes\nSELECT alias, entity_id, kind, prior FROM dict",
     "kg_canonical_map" -> canonicalSql,
@@ -1460,6 +1462,36 @@ object SparkEntry {
        |lvls AS ($unions)
        |SELECT root, node AS entity_id, CAST(min(dist) AS INT) AS dist
        |FROM lvls GROUP BY 1, 2""".stripMargin
+  }
+
+  /** [[graft.kg.GraphOps.kcore]]: the same synchronous peel unrolled —
+    * round i's degree count runs over edges whose BOTH endpoints survived
+    * round i-1, peel/survivor split on the identical coalesce(d,0)
+    * threshold. */
+  private lazy val kcoreSql: String = {
+    val k = GraphOps.KcoreK
+    val t = GraphOps.KcoreIters
+    val rounds = (1 to t).map { i =>
+      s"""d$i AS (SELECT s.src AS id, count(*) AS d FROM sym s
+         |  JOIN a${i - 1} x ON s.src = x.id JOIN a${i - 1} y ON s.dst = y.id
+         |  GROUP BY 1),
+         |p$i AS (SELECT a${i - 1}.id FROM a${i - 1} LEFT JOIN d$i USING (id)
+         |  WHERE coalesce(d, 0) < $k),
+         |a$i AS (SELECT a${i - 1}.id FROM a${i - 1} LEFT JOIN d$i USING (id)
+         |  WHERE coalesce(d, 0) >= $k)""".stripMargin
+    }.mkString(",\n")
+    val peeledUnion = (1 to t).map(i => s"SELECT id, $i AS r FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS ($coEdgesCte),
+       |$symCte,
+       |deg0 AS (SELECT src AS id, count(*) AS sym_degree FROM sym GROUP BY 1),
+       |a0 AS (SELECT id FROM deg0),
+       |$rounds,
+       |peeled AS ($peeledUnion)
+       |SELECT deg0.id AS entity_id, sym_degree,
+       |  CAST(coalesce(peeled.r, 0) AS INT) AS peel_round,
+       |  CASE WHEN peeled.id IS NULL THEN 1 ELSE 0 END AS in_kcore
+       |FROM deg0 LEFT JOIN peeled ON deg0.id = peeled.id""".stripMargin
   }
 
   /** [[graft.kg.GraphOps.coocPmi]]: identical integer-exact numerator /

@@ -447,4 +447,65 @@ object GraphOps {
     mi.unpersist()
     out
   }
+
+  /** peeling threshold and fixed round budget for [[kcore]]. Six rounds
+    * converge with a round to spare on the gate-scale graph (k=3 peeling
+    * stabilizes in 5); the semantics are DEFINED as the bounded-round peel
+    * (like [[BfsDepth]]) so the op stays a pure function of the graph and
+    * the oracle can unroll the identical rounds. */
+  val KcoreK = 3
+  val KcoreIters = 6
+
+  /** Bounded-round k-core peeling (Seidman 1983 degeneracy cores; the
+    * Matula–Beck peel expressed as synchronous rounds): each round removes
+    * every node whose degree among the REMAINING nodes is < [[KcoreK]];
+    * after [[KcoreIters]] rounds, survivors are the (approximate-until-
+    * converged, exact once stable) k-core — the densely-linked entity
+    * nucleus a KG consumer uses to separate backbone entities from
+    * peripheral ones. Emits, per node: its full symmetric degree, the round
+    * it was peeled (0 = never), and the in-core flag.
+    *
+    * Scale: each round is two equi-joins of the edge list against the
+    * active-node set (keyed by src / dst — a hub's fan-out is its degree,
+    * AQE-splittable) plus a map-side-combined degree count. The active set
+    * shrinks monotonically, so later rounds join against ever-smaller
+    * sides; at billions of edges each round's active set is persisted and
+    * the loop is bounded by the fixed round budget, not data-dependent
+    * convergence.
+    */
+  def kcore(triples: DataFrame): DataFrame = {
+    val sym = symEdges(coEdges(triples)).persist()
+    val deg0 = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("sym_degree"))
+    var active = deg0.select(col("id"))
+    var peeled = active.where(lit(false)).withColumn("peel_round", lit(0))
+    val roundCaches = Seq.newBuilder[DataFrame]
+    for (r <- 1 to KcoreIters) {
+      // fresh aliases each round: active's lineage contains sym from round
+      // 2 on, so dataset-tagged column refs would trip the ambiguous-self-
+      // join check (same pattern as bfsDistances). Each round's annotated
+      // set is persisted (it feeds both the peel and the survivor branch,
+      // and bounds lineage depth) and released after the final materialize.
+      val a1 = active.select(col("id").as("sid"))
+      val a2 = active.select(col("id").as("did"))
+      val deg = sym.join(a1, col("src") === col("sid"))
+        .join(a2, col("dst") === col("did"))
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      val annotated = active.join(deg, Seq("id"), "left_outer")
+        .withColumn("d", coalesce(col("d"), lit(0L))).persist()
+      roundCaches += annotated
+      peeled = peeled.unionAll(
+        annotated.where(col("d") < KcoreK)
+          .select(col("id"), lit(r).as("peel_round")))
+      active = annotated.where(col("d") >= KcoreK).select(col("id"))
+    }
+    val out = deg0.join(peeled, Seq("id"), "left_outer")
+      .select(col("id").as("entity_id"), col("sym_degree"),
+        coalesce(col("peel_round"), lit(0)).as("peel_round"),
+        isnull(col("peel_round")).cast("int").as("in_kcore"))
+      .persist()
+    out.count()
+    roundCaches.result().foreach(_.unpersist())
+    sym.unpersist()
+    out
+  }
 }

@@ -211,6 +211,39 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).toSet.size >= 2)
   }
 
+  test("kcore: multi-round peel matches a driver re-derivation; clique core survives") {
+    import spark.implicits._
+    // 4-clique {a,b,c,d} (the 3-core) + hub x over pendants e,f,g: e,f,g
+    // peel in round 1 (degree < 3), which drops x to degree 0 so it peels
+    // in round 2 — exercising the round-dependent cascade
+    val und = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("x", "e"), ("x", "f"), ("x", "g"), ("e", "f"))
+    val tri = und.map { case (s, o) => (s, "co_occurs_with", o) }
+      .toDF("subj", "pred", "obj")
+    // dependency-free synchronous peel
+    val sym = und.flatMap { case (s, o) => Seq(s -> o, o -> s) }.distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var active = adj.keySet
+    var peelRound = Map.empty[String, Int]
+    for (r <- 1 to GraphOps.KcoreIters) {
+      val peel = active.filter(v => (adj(v) & active).size < GraphOps.KcoreK)
+      peelRound ++= peel.map(_ -> r)
+      active --= peel
+    }
+    val expect = adj.map { case (v, ns) =>
+      v -> ((ns.size.toLong, peelRound.getOrElse(v, 0),
+        if (peelRound.contains(v)) 0 else 1))
+    }
+    val got = GraphOps.kcore(tri).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got == expect)
+    // the cascade actually happened: pendants in round 1, their hub in
+    // round 2, the clique never
+    assert(got("e")._2 == 1 && got("f")._2 == 1 && got("g")._2 == 1)
+    assert(got("x")._2 == 2)
+    assert(Seq("a", "b", "c", "d").forall(got(_)._3 == 1))
+  }
+
   test("coocPmi: ln(n_ab·N / (n_a·n_b)) at 4 dp, min-joint filter") {
     import spark.implicits._
     val mi = Seq(
