@@ -498,6 +498,12 @@ object SparkEntry {
       val stage = KgStage.stage(s, dir)
       Multimodal.dedupPixels(s, s"$stage/media_variants.parquet")
     }),
+    // interleaved-sequence token budgets (media expands to ImgTokens patch
+    // tokens); the oracle re-derives them from the staged span table
+    "mm_interleave" -> ((s, dir) => {
+      val _ = KgStage.stage(s, dir)
+      Multimodal.interleaveBudget(s, dir)
+    }),
   )
 
   // -------------------------------------------------------------- oracle
@@ -1081,6 +1087,19 @@ object SparkEntry {
          |  CASE WHEN media_ref || '#' || variant = keeper THEN 1 ELSE 0 END
          |    AS is_keeper
          |FROM v JOIN g USING (pixel_md5)""".stripMargin,
+    "mm_interleave" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS INT)
+         |      AS n_text_tokens,
+         |    CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS INT)
+         |      AS n_media
+         |  FROM read_parquet('$KgPath/docs_spans.parquet/*.parquet') GROUP BY 1)
+         |SELECT doc_id, n_text_tokens, n_media,
+         |  n_text_tokens + ${Multimodal.ImgTokens} * n_media AS seq_tokens,
+         |  CAST(ceil((n_text_tokens + ${Multimodal.ImgTokens} * n_media)
+         |    / ${Multimodal.InterleaveWindow}.0) AS INT) AS n_windows
+         |FROM b""".stripMargin,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_ivf_indexed" -> annIvfSql,

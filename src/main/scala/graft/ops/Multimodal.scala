@@ -305,6 +305,37 @@ object Multimodal {
       }).toDF()
   }
 
+  /** context tokens one media asset expands to in an interleaved training
+    * sequence (vision-LM patch-token budget), and the window size the
+    * sequence is cut into. */
+  val ImgTokens = 32
+  val InterleaveWindow = 256
+
+  /** Interleaved-sequence token budgeting (Alayrac et al. 2022 Flamingo §A;
+    * every interleaved text+media loader): a media span does not cost one
+    * token — it expands to [[ImgTokens]] patch tokens when the sequence is
+    * assembled. Per document: text-token count, media count, the true
+    * interleaved sequence length, and how many [[InterleaveWindow]]-token
+    * context windows the doc occupies. The budget drives packing, sharding,
+    * and cost estimates for multimodal pretraining.
+    *
+    * Scale: ZERO shuffle — the counts come from `size(filter(spans, ...))`
+    * over each row's own span array, a codegen'd projection on the doc
+    * scan; nothing is exploded or re-grouped.
+    */
+  def interleaveBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.kg.DocGen.docs(spark, sfDir).toDF()
+      .select(col("doc_id"),
+        size(filter(col("spans"), s => s.getField("kind") === "text"))
+          .as("n_text_tokens"),
+        size(filter(col("spans"), s => s.getField("kind") === "media"))
+          .as("n_media"))
+      .withColumn("seq_tokens",
+        col("n_text_tokens") + lit(ImgTokens) * col("n_media"))
+      .withColumn("n_windows",
+        ceil(col("seq_tokens") / lit(InterleaveWindow.toDouble)).cast("int"))
+  }
+
   final case class VariantRow(media_ref: String, variant: String, payload: Array[Byte])
   final case class VariantDecoded(media_ref: String, variant: String, pixel_md5: String)
 

@@ -700,6 +700,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._3 >= 2), "expected at least one cross-asset duplicate group")
   }
 
+  test("interleave budget: media expand to patch tokens; recount via the shared assembler agrees") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = docs.map { case (id, text) =>
+      val spans = graft.kg.DocGen.assemble(graft.kg.DocGen.docIdOf(id), text).spans
+      val nText = spans.count(_.kind == "text")
+      val nMedia = spans.count(_.kind == "media")
+      val seq = nText + Multimodal.ImgTokens * nMedia
+      graft.kg.DocGen.docIdOf(id) ->
+        ((nText, nMedia, seq, math.ceil(seq.toDouble / Multimodal.InterleaveWindow).toInt))
+    }.toMap
+    val got = Multimodal.interleaveBudget(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(got == expect)
+    // the corpus actually exercises the expansion: some doc holds media
+    assert(got.values.exists(_._2 > 0))
+  }
+
   test("doc_pack: bins match a plain-Scala next-fit fold; no window overflows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
