@@ -358,20 +358,27 @@ object Multimodal {
     */
   def dedupPixels(spark: SparkSession, variantsTable: String): DataFrame = {
     import spark.implicits._
+    // persist the slim digest triples: they feed BOTH the group aggregation
+    // and the join-back, and an unpersisted lineage would re-decode every
+    // payload a second time
     val decoded = widened(spark.read.parquet(variantsTable)
       .select(col("media_ref"), col("variant"), col("payload"))).as[VariantRow]
       .mapPartitions(_.map { r =>
         VariantDecoded(r.media_ref, r.variant, ImageCodec.decodePng(r.payload).pixel_md5)
-      }).toDF()
+      }).toDF().persist()
     val groups = decoded.groupBy("pixel_md5")
       .agg(count(lit(1)).as("n_copies"),
         countDistinct("media_ref").as("n_assets"),
         min(concat_ws("#", col("media_ref"), col("variant"))).as("keeper"))
-    decoded.join(groups, Seq("pixel_md5"))
+    val out = decoded.join(groups, Seq("pixel_md5"))
       .select(col("media_ref"), col("variant"), col("pixel_md5"),
         col("n_copies"), col("n_assets"),
         (concat_ws("#", col("media_ref"), col("variant")) === col("keeper"))
           .cast("int").as("is_keeper"))
+      .persist()
+    out.count()
+    decoded.unpersist()
+    out
   }
 
   /** the box side mm_resize fits into — smaller than most staged assets
