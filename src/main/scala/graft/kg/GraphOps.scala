@@ -469,43 +469,38 @@ object GraphOps {
     * active-node set (keyed by src / dst — a hub's fan-out is its degree,
     * AQE-splittable) plus a map-side-combined degree count. The active set
     * shrinks monotonically, so later rounds join against ever-smaller
-    * sides; at billions of edges each round's active set is persisted and
-    * the loop is bounded by the fixed round budget, not data-dependent
-    * convergence.
+    * sides; each round's survivor set is lineage-truncated via
+    * localCheckpoint (plan depth stays O(1) across rounds — see the inline
+    * note) and the loop is bounded by the fixed round budget, not
+    * data-dependent convergence.
     */
   def kcore(triples: DataFrame): DataFrame = {
-    val sym = symEdges(coEdges(triples)).persist()
+    // localCheckpoint (the Canonical star-loop pattern) rather than cache:
+    // each round's plan must be TRUNCATED, not just materialized — six
+    // nested join/agg rounds of compounding lineage sent catalyst+AQE
+    // re-planning time superlinear (a 7-minute wall on a 10k-edge graph,
+    // vs ~1 s with truncation)
+    val sym = symEdges(coEdges(triples)).localCheckpoint(true)
     val deg0 = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("sym_degree"))
+      .localCheckpoint(true)
     var active = deg0.select(col("id"))
     var peeled = active.where(lit(false)).withColumn("peel_round", lit(0))
-    val roundCaches = Seq.newBuilder[DataFrame]
     for (r <- 1 to KcoreIters) {
-      // fresh aliases each round: active's lineage contains sym from round
-      // 2 on, so dataset-tagged column refs would trip the ambiguous-self-
-      // join check (same pattern as bfsDistances). Each round's annotated
-      // set is persisted (it feeds both the peel and the survivor branch,
-      // and bounds lineage depth) and released after the final materialize.
       val a1 = active.select(col("id").as("sid"))
       val a2 = active.select(col("id").as("did"))
       val deg = sym.join(a1, col("src") === col("sid"))
         .join(a2, col("dst") === col("did"))
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
       val annotated = active.join(deg, Seq("id"), "left_outer")
-        .withColumn("d", coalesce(col("d"), lit(0L))).persist()
-      roundCaches += annotated
+        .withColumn("d", coalesce(col("d"), lit(0L))).localCheckpoint(true)
       peeled = peeled.unionAll(
         annotated.where(col("d") < KcoreK)
           .select(col("id"), lit(r).as("peel_round")))
       active = annotated.where(col("d") >= KcoreK).select(col("id"))
     }
-    val out = deg0.join(peeled, Seq("id"), "left_outer")
+    deg0.join(peeled, Seq("id"), "left_outer")
       .select(col("id").as("entity_id"), col("sym_degree"),
         coalesce(col("peel_round"), lit(0)).as("peel_round"),
         isnull(col("peel_round")).cast("int").as("in_kcore"))
-      .persist()
-    out.count()
-    roundCaches.result().foreach(_.unpersist())
-    sym.unpersist()
-    out
   }
 }

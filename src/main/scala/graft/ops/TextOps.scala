@@ -324,28 +324,34 @@ object TextOps {
     *
     * Scale shape — the part that matters at 100 TB: the benchmark gram set
     * is tiny relative to the corpus (eval suites are MBs, corpora are TBs),
-    * so it is collapsed to ONE row and broadcast; the training side is a
-    * single codegen'd projection (gram array + array_intersect against the
-    * broadcast set) with ZERO shuffle of corpus data — the
-    * BroadcastNestedLoopJoin against a 1-row build side is map-only. With a
-    * benchmark set too large for one array row you'd switch to a broadcast
-    * hash join on the gram key (still map-only on the corpus) or a Bloom
-    * filter; the corpus-side shape is unchanged.
+    * so it is distinct'd and BROADCAST; the training side explodes its
+    * per-doc distinct grams and probes the broadcast hash relation —
+    * map-side, the corpus payload never shuffles — then re-aggregates to
+    * one row per doc (two-phase, so the exchange carries one slim row per
+    * document, not per gram).
+    *
+    * Not `array_intersect` against a one-row gram array: Spark's
+    * ArrayIntersect rebuilds the hash set of the benchmark side PER ROW,
+    * which measured 18 s at sf0.1 (12k grams × 4.75k docs) and scales as
+    * |eval| × |docs|; the broadcast hash join builds the relation once per
+    * task (2.6 s same corpus, and the right complexity at scale).
     */
   def decontam(spark: SparkSession, sfDir: String): DataFrame = {
     val based = docsDf(spark, sfDir)
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), gramArray.as("grams"))
     val evalGrams = based.where(col("doc_id") % DecontamEvery === 0)
-      .select(explode(col("grams")).as("gram"))
-      .agg(sort_array(collect_set(col("gram"))).as("eval_grams"))
+      .select(explode(col("grams")).as("gram")).distinct()
+      .withColumn("hit", lit(1))
     based.where(col("doc_id") % DecontamEvery =!= 0)
-      .crossJoin(broadcast(evalGrams))
-      .select(col("doc_id"),
-        size(col("grams")).as("n_grams"),
-        size(array_intersect(col("grams"), col("eval_grams"))).as("n_contam_grams"))
-      .withColumn("contaminated",
-        (col("n_contam_grams") > 0).cast("int"))
+      // explode_outer keeps gram-less docs (shorter than the gram order)
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_outer")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(col("hit")).cast("int").as("n_contam_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_contam_grams"),
+        (col("n_contam_grams") > 0).cast("int").as("contaminated"))
   }
 
   // ------------------------------- temperature language resampling
