@@ -127,7 +127,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the other bench mains (QueryBench/GraphBench/...); the
+    // driver always sets this explicitly, but a forgotten local run at
+    // local[4] produces numbers that look like a 3-8x regression on the
+    // parallel-heavy rows (see BENCH/round5i/j vs round5h)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val amplify = sys.env.getOrElse("GRAFT_AMPLIFY", "8").toInt
     // the reference's real experiment shape (GENIA: depth 8, 200-d) costs
     // ~5.6x the default per token (InferBench calibration) — bench it at a
@@ -179,7 +183,11 @@ object Bench {
     require(reps >= 1, s"GRAFT_BENCH_REPS must be >= 1, got $reps")
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
+    // local-iteration filter (mirrors Verify's GRAFT_VERIFY_ONLY): run a
+    // subset of the battery for perf triage; the driver never sets it
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // per query: (best sec, ext_load of the best rep)
     // name -> (best sec, ext load at best, steal% at best)
     val best = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
@@ -320,8 +328,12 @@ object Bench {
           s""""timeout_sec":$timeoutSec,"kg":${primary.jsonFull(cfgName)},""" +
           s""""kg2":${secondary.jsonFull(secondaryName)},""" +
           s""""ext_load":$fullLoads,"steal":$fullSteal,"queries":$fullQs}"""
+      // a GRAFT_BENCH_ONLY triage run must not clobber the full-battery record
+      val defaultOut =
+        if (only.isDefined) "BENCH/last_bench_filtered.json"
+        else "BENCH/last_bench_full.json"
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("GRAFT_BENCH_FULL_OUT", "BENCH/last_bench_full.json"))
+        sys.env.getOrElse("GRAFT_BENCH_FULL_OUT", defaultOut))
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, full + "\n")
     } catch {
