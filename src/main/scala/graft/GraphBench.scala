@@ -69,7 +69,8 @@ object GraphBench {
   final case class Row2(graph: String, nodes: Long, edges: Long,
                         pagerankSec: Double, degreeSec: Double,
                         prLoad: Double, degLoad: Double,
-                        hitsSec: Double = -1.0, hitsLoad: Double = 0.0)
+                        hitsSec: Double = -1.0, hitsLoad: Double = 0.0,
+                        kcoreSec: Double = -1.0, kcoreLoad: Double = 0.0)
 
   /** closed-form integer HITS on the 2-regular ring+chord: every node has
     * in-deg == out-deg == 2, so a_t = 2·h_{t-1} and h_t = 2·a_t uniformly →
@@ -139,6 +140,7 @@ object GraphBench {
     // would misattribute compiler time to the smallest measured row
     GraphOps.pagerank(ringChordTriples(spark, 100000L)).count()
     GraphOps.hits(ringChordTriples(spark, 100000L)).count()
+    GraphOps.kcore(ringChordTriples(spark, 100000L)).count()
     spark.catalog.clearCache()
 
     val selfCpus = cpus.toDouble
@@ -173,8 +175,20 @@ object GraphBench {
       require(ringHits.length == 1 && ringHits.head.getLong(0) == expA &&
         ringHits.head.getLong(1) == expH,
         s"ring n=$n: HITS closed form violated: ${ringHits.mkString(",")} != ($expA,$expH)")
+      // k-core on the 4-regular symmetric view (neighbors ±1, ±7): degree 4
+      // >= KcoreK everywhere, so NO node is ever peeled and all six rounds
+      // join against the full n-node active set — the worst-case round cost
+      val (ringCore, rcSec, rcLoad) = measure(spark, selfCpus) {
+        GraphOps.kcore(ring)
+          .groupBy("sym_degree", "peel_round", "in_kcore")
+          .agg(count(lit(1)).as("c")).collect()
+      }
+      require(ringCore.length == 1 && ringCore.head.getLong(0) == 4 &&
+        ringCore.head.getInt(1) == 0 && ringCore.head.getInt(2) == 1 &&
+        ringCore.head.getLong(3) == n,
+        s"ring n=$n: kcore closed form violated: ${ringCore.mkString(",")}")
       rows += Row2(s"ring+chord", n, 2 * n, prSec, degSec, prLoad, degLoad,
-        rhSec, rhLoad)
+        rhSec, rhLoad, rcSec, rcLoad)
 
       // star: scalar-recurrence closed form, hub skew by construction
       val star = starTriples(spark, n)
@@ -215,8 +229,25 @@ object GraphBench {
             s""""hits":"skipped: (n-1)^${GraphOps.HitsIters} exceeds Int64 — documented score bound"}""")
           (-1.0, 0.0)
       }
+      // k-core on the star: every spoke has symmetric degree 1 < KcoreK →
+      // peeled in round 1; the hub (degree n-1, the skew side of the
+      // round-1 join) is left isolated → peeled in round 2; rounds 3-6 run
+      // on an EMPTY active set — the fast-shrink case complementing the
+      // ring's no-shrink case
+      val (starCore, scSec, scLoad) = measure(spark, selfCpus) {
+        GraphOps.kcore(star)
+          .groupBy("sym_degree", "peel_round", "in_kcore")
+          .agg(count(lit(1)).as("c")).orderBy(col("c").desc).collect()
+      }
+      require(starCore.length == 2, s"star n=$n: kcore expected 2 classes, got ${starCore.mkString(",")}")
+      require(starCore(0).getLong(0) == 1 && starCore(0).getInt(1) == 1 &&
+        starCore(0).getInt(2) == 0 && starCore(0).getLong(3) == n - 1,
+        s"star n=$n: spoke kcore class ${starCore(0)} != (1,1,0,${n - 1})")
+      require(starCore(1).getLong(0) == n - 1 && starCore(1).getInt(1) == 2 &&
+        starCore(1).getInt(2) == 0 && starCore(1).getLong(3) == 1L,
+        s"star n=$n: hub kcore class ${starCore(1)} != (${n - 1},2,0,1)")
       rows += Row2("star(hub-skew)", n, 2 * (n - 1), starSec, -1.0, starLoad, 0.0,
-        shSec, shLoad)
+        shSec, shLoad, scSec, scLoad)
     }
 
     rows.foreach { r =>
@@ -227,7 +258,10 @@ object GraphBench {
           s""","degree_sec":${Fmt.f3(r.degreeSec)},"deg_ext_load":${Fmt.f2(r.degLoad)}"""
         else "") +
         (if (r.hitsSec >= 0)
-          s""","hits_sec":${Fmt.f3(r.hitsSec)},"hits_ext_load":${Fmt.f2(r.hitsLoad)}}"""
+          s""","hits_sec":${Fmt.f3(r.hitsSec)},"hits_ext_load":${Fmt.f2(r.hitsLoad)}"""
+        else "") +
+        (if (r.kcoreSec >= 0)
+          s""","kcore_sec":${Fmt.f3(r.kcoreSec)},"kcore_ext_load":${Fmt.f2(r.kcoreLoad)}}"""
         else "}"))
     }
 
@@ -243,12 +277,18 @@ object GraphBench {
     md ++= "ext_load is the winning rep's contention reading —\n"
     md ++= "max(2 s-sampled loadavg external load, hypervisor steal% converted to\n"
     md ++= "stolen cores of this JVM's parallelism) — nonzero = contaminated window.\n\n"
-    md ++= "| graph | nodes | edges | pagerank (s) | pr ext_load | degrees (s) | deg ext_load | hits (s) | hits ext_load |\n|---|---|---|---|---|---|---|---|---|\n"
+    md ++= "k-core (k=3, 6 synchronous peel rounds) joins the battery with its own\n"
+    md ++= "closed forms: the ring's symmetric view is 4-regular, so NO node peels\n"
+    md ++= "and all six rounds join the full active set (worst-case round cost); the\n"
+    md ++= "star cascades — spokes (degree 1) peel in round 1 through the hub-skewed\n"
+    md ++= "join, the isolated hub in round 2, rounds 3-6 run on an empty set.\n\n"
+    md ++= "| graph | nodes | edges | pagerank (s) | pr ext_load | degrees (s) | deg ext_load | hits (s) | hits ext_load | kcore (s) | kcore ext_load |\n|---|---|---|---|---|---|---|---|---|---|---|\n"
     rows.foreach { r =>
       md ++= s"| ${r.graph} | ${r.nodes} | ${r.edges} | ${Fmt.f1(r.pagerankSec)} | " +
         s"${Fmt.f2(r.prLoad)} | " +
         s"${if (r.degreeSec >= 0) s"${Fmt.f1(r.degreeSec)} | ${Fmt.f2(r.degLoad)}" else "— | —"} | " +
-        s"${if (r.hitsSec >= 0) s"${Fmt.f1(r.hitsSec)} | ${Fmt.f2(r.hitsLoad)}" else "— (Int64 bound) | —"} |\n"
+        s"${if (r.hitsSec >= 0) s"${Fmt.f1(r.hitsSec)} | ${Fmt.f2(r.hitsLoad)}" else "— (Int64 bound) | —"} | " +
+        s"${if (r.kcoreSec >= 0) s"${Fmt.f1(r.kcoreSec)} | ${Fmt.f2(r.kcoreLoad)}" else "— | —"} |\n"
     }
     Files.createDirectories(Paths.get("BENCH"))
     val out = Paths.get(s"BENCH/GRAPH_BENCH_c$cpus.md")
