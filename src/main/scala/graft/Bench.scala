@@ -184,8 +184,17 @@ object Bench {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     // local-iteration filter (mirrors Verify's GRAFT_VERIFY_ONLY): run a
-    // subset of the battery for perf triage; the driver never sets it
-    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // subset of the battery for perf triage; the driver never sets it.
+    // Validated up front — a typo'd or empty filter would otherwise pay
+    // full staging + both headlines and record zero queries, silently
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { ns =>
+      val unknown = ns.diff(SparkEntry.queries.keySet)
+      require(ns.nonEmpty && unknown.isEmpty,
+        s"GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          s"${unknown.toSeq.sorted.mkString(",")} (filter was: $ns)")
+    }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // per query: (best sec, ext_load of the best rep)

@@ -1087,14 +1087,24 @@ object SparkEntry {
          |  CASE WHEN media_ref || '#' || variant = keeper THEN 1 ELSE 0 END
          |    AS is_keeper
          |FROM v JOIN g USING (pixel_md5)""".stripMargin,
+    // the doc universe comes from `documents` (not from the exploded span
+    // table): a doc whose text tokenizes to ZERO spans has no docs_spans
+    // rows, but the Spark op (size(filter(...)) over each doc's own span
+    // array) still emits it with zero counts — the left join + COALESCE
+    // keeps both engines row-equal on such corpora
     "mm_interleave" ->
-      s"""WITH b AS (
+      s"""WITH s AS (
          |  SELECT doc_id,
          |    CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS INT)
          |      AS n_text_tokens,
          |    CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS INT)
          |      AS n_media
-         |  FROM read_parquet('$KgPath/docs_spans.parquet/*.parquet') GROUP BY 1)
+         |  FROM read_parquet('$KgPath/docs_spans.parquet/*.parquet') GROUP BY 1),
+         |b AS (
+         |  SELECT printf('d%09d', d.doc_id) AS doc_id,
+         |    COALESCE(s.n_text_tokens, 0) AS n_text_tokens,
+         |    COALESCE(s.n_media, 0) AS n_media
+         |  FROM documents d LEFT JOIN s ON s.doc_id = printf('d%09d', d.doc_id))
          |SELECT doc_id, n_text_tokens, n_media,
          |  n_text_tokens + ${Multimodal.ImgTokens} * n_media AS seq_tokens,
          |  CAST(ceil((n_text_tokens + ${Multimodal.ImgTokens} * n_media)
@@ -1602,7 +1612,10 @@ object SparkEntry {
   /** [[graft.ops.TextOps.decontam]]: same gram construction (distinct
     * 8-token grams, stride 1), same deterministic benchmark split
     * (doc_id % DecontamEvery == 0), set-intersect counted on distinct
-    * grams on both engines. */
+    * grams on both engines. The eval-gram set is COALESCEd to an empty
+    * list: on a corpus with NO benchmark-split docs, DuckDB's list() over
+    * zero rows is NULL, which would NULL-poison every intersect, while the
+    * Spark side's left-join + count correctly yields 0 everywhere. */
   private lazy val decontamSql = {
     val k = TextOps.DecontamGram
     val m = TextOps.DecontamEvery
@@ -1613,7 +1626,8 @@ object SparkEntry {
        |  FROM d WHERE len(toks) >= $k
        |  UNION ALL
        |  SELECT doc_id, CAST([] AS VARCHAR[]) FROM d WHERE len(toks) < $k),
-       |e AS (SELECT list_distinct(flatten(list(grams))) AS eval_grams
+       |e AS (SELECT COALESCE(list_distinct(flatten(list(grams))),
+       |    CAST([] AS VARCHAR[])) AS eval_grams
        |  FROM g WHERE doc_id % $m = 0)
        |SELECT doc_id, len(grams) AS n_grams,
        |  len(list_intersect(grams, eval_grams)) AS n_contam_grams,

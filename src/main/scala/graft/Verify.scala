@@ -16,8 +16,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: GRAFT_VERIFY_ONLY=q1,q2 runs a subset; the
-    // driver never sets it, so the gate always dumps every query
-    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    // driver never sets it, so the gate always dumps every query. Names are
+    // trimmed and validated up front: a typo'd filter would otherwise run
+    // the whole main, dump nothing, and exit 0
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(names.nonEmpty && unknown.isEmpty,
+        s"GRAFT_VERIFY_ONLY names not in SparkEntry.queries: " +
+          s"${unknown.toSeq.sorted.mkString(",")} (filter was: $names)")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

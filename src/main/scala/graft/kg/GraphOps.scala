@@ -201,10 +201,17 @@ object GraphOps {
     out
   }
 
+  /** deterministic top-k hub pick shared by [[twoHop]] and [[bfsDistances]]
+    * (and mirrored by their oracles): highest out-degree first, ties broken
+    * by ascending entity id. One shared implementation so the tie-break
+    * cannot drift between the two ops and their oracle SQL. */
+  private def topHubs(e: DataFrame, k: Int): DataFrame =
+    e.groupBy(col("src").as("entity_id")).agg(count(lit(1)).as("out_degree"))
+      .orderBy(col("out_degree").desc, col("entity_id")).limit(k)
+
   def twoHop(triples: DataFrame): DataFrame = {
     val e = coEdges(triples)
-    val hubs = e.groupBy(col("src").as("entity_id")).agg(count(lit(1)).as("out_degree"))
-      .orderBy(col("out_degree").desc, col("entity_id")).limit(TopHubs)
+    val hubs = topHubs(e, TopHubs)
     val second = e.select(col("src").as("mid"), col("dst").as("nbr2"))
     broadcast(hubs)
       .join(e, hubs("entity_id") === e("src"))
@@ -333,8 +340,8 @@ object GraphOps {
   /** Shortest-hop distances (≤ [[BfsDepth]]) from the top-[[BfsHubs]]
     * out-degree hubs, by frontier-expansion BFS — the "how far is
     * everything from the core entities" traversal a KG consumer runs for
-    * influence radii and ego networks. Deterministic hub pick: out-degree
-    * desc, entity id asc (the [[twoHop]] tie-break).
+    * influence radii and ego networks. Deterministic hub pick: [[topHubs]]
+    * (shared with [[twoHop]] — out-degree desc, entity id asc).
     *
     * Each level is one equi-join frontier⋈edges (keyed by the frontier
     * node) + a distinct; the final min-dist groupBy collapses multi-path
@@ -345,9 +352,7 @@ object GraphOps {
     */
   def bfsDistances(triples: DataFrame): DataFrame = {
     val e = coEdges(triples)
-    val hubs = e.groupBy(col("src").as("root")).agg(count(lit(1)).as("d"))
-      .orderBy(col("d").desc, col("root")).limit(BfsHubs)
-      .select(col("root"))
+    val hubs = topHubs(e, BfsHubs).select(col("entity_id").as("root"))
     var reach = broadcast(hubs)
       .select(col("root"), col("root").as("node"), lit(0).as("dist"))
     var frontier = reach
@@ -399,6 +404,12 @@ object GraphOps {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("id"), col("label"))
+        // lineage-truncate each round (the kcore/Canonical pattern): three
+        // nested join+agg+window rounds re-plan fine today, but compounding
+        // round lineage is exactly what sent kcore's six rounds superlinear
+        // in catalyst+AQE re-planning — truncation keeps plan depth O(1)
+        // in LpaIters
+        .localCheckpoint(true)
     }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
     val out = labels.join(sizes, "label")
