@@ -116,6 +116,11 @@ object Bench {
     def jsonMin(cfgName: String): String =
       s"""{"cfg":"$cfgName","sec":${t2(secOrSentinel)},"tokens":$tokens,""" +
         s""""steal":${t1(steal)},"toks":${perSec(tokens)}}"""
+    /** last-resort barebones headline: the two numbers a reader of the
+      * driver line actually needs (wall seconds, tokens/s); everything else
+      * lives in the sidecar */
+    def jsonBare: String =
+      s"""{"sec":${t2(secOrSentinel)},"toks":${perSec(tokens)}}"""
     /** full-precision object for the sidecar file */
     def jsonFull(cfgName: String): String =
       s"""{"cfg":"$cfgName","sec":$secOrSentinel,"rep_secs":[${repSecs.mkString(",")}],""" +
@@ -305,20 +310,30 @@ object Bench {
         s""""kg":$kgJs,"kg2":$kg2Js,""" +
         s""""hot":$hotJs,"steal":$stealJs,"queries":$qsJs}"""
     }
+    // barebones: only what the driver schema requires (metric/value/unit/
+    // sf/queries) plus two-number headlines; failed stays IF nonempty (a
+    // dropped failure list would hide real failures), reps/prep/hot/steal
+    // are sidecar-only. ~150 B under the minHeadlines level at 95 queries.
+    def assembleBare(qsJs: String) =
+      s"""{"metric":"total","value":${t1(total)},"unit":"sec","sf":"$sfName",""" +
+        (if (failed.nonEmpty) s""""failed":$failedJson,""" else "") +
+        s""""kg":${primary.jsonBare},"kg2":${secondary.jsonBare},""" +
+        s""""queries":$qsJs}"""
     // the driver tail-captures ~2000 B: on a dirty window the hot/steal
     // annotation maps can push the line past it, so shrink progressively —
     // the annotations live in full in the sidecar, the queries map does not;
-    // the last two levels trade query-time precision (1 dp -> whole seconds)
-    // and headline detail for fit (an 85-entry integer map with the full
-    // headline objects sits at ~1989 B — one 10 s query from overflow)
+    // the later levels trade query-time precision (1 dp -> whole seconds),
+    // then headline detail, then every non-schema field (the barebones
+    // level: at 95 queries the minHeadlines level already emits 1985 B —
+    // ON the bracketed capture edge — while barebones sits ~1835 B)
     // threshold 1950, not ~2000: the window's true edge is only bracketed
     // (a 1985 B line was captured whole, a 2004 B one truncated), so stay
     // safely below the known-good bound rather than at the bracket's middle
     val line = Seq(assemble(hot, hotSteal), assemble("{}", hotSteal),
         assemble("{}", "{}"), assemble("{}", "{}", qs0),
-        assemble("{}", "{}", qs0, minHeadlines = true))
+        assemble("{}", "{}", qs0, minHeadlines = true), assembleBare(qs0))
       .find(_.length <= 1950)
-      .getOrElse(assemble("{}", "{}", qs0, minHeadlines = true))
+      .getOrElse(assembleBare(qs0))
     if (line.length > 1950)
       System.err.println(s"[bench] WARNING: result line ${line.length} B exceeds the " +
         "driver's ~2000 B tail window; per-query timings may truncate")
