@@ -23,7 +23,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// SIMD GEMV kernels (graft.core.SimdKernels) use the JDK Vector API, an
+// incubator module on JDK 17 — needed at javac time and in the forked JVMs.
+// Kernels fall back to scalar automatically if the module is absent.
+javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules", "jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",

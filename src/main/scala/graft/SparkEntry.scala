@@ -147,7 +147,11 @@ object SparkEntry {
       Canonical.connectedComponents(Canonical.edgesFromDict(AliasDict.build(DocGen.docs(s, dir))))),
     "kg_triples" -> ((s, dir) => {
       val _ = KgStage.stage(s, dir)
-      Triples.pipeline(s, dir)
+      // shared session model broadcast (same BcRegistry slot as kg_mentions/
+      // kg_linked) instead of Triples.pipeline's fresh buildModel: skips a
+      // redundant lexicon aggregation job per invocation; the model is a pure
+      // function of the corpus, so the output is unchanged
+      Triples.pipelineHandleBc(DocGen.docs(s, dir), modelBc(s, dir)).triples
     }),
     // ops-layer output: the bucketed checkpointed run's GLOBAL compaction
     // (cross-bucket distinct). Equal by construction to the monolithic

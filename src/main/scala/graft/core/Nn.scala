@@ -8,6 +8,39 @@ package graft.core
   * `nn.Linear`, `nn.LSTM` (gate order i,f,g,o), `nn.Conv1d(kernel_size=2)`,
   * `nn.LayerNorm(eps=1e-5)` — at inference (eval mode: dropout = identity).
   */
+/** Runtime gate + transpose cache for the SIMD GEMV kernels
+  * ([[SimdKernels]]): vectorization is across OUTPUT lanes over transposed
+  * weights, so every output element's FP accumulation order is unchanged —
+  * results are bit-exact vs the scalar kernels (asserted by NnSimdSpec).
+  * Falls back to the scalar path when the jdk.incubator.vector module is
+  * absent or `-Dgraft.simd=off` is set.
+  */
+object Simd {
+  val enabled: Boolean =
+    try {
+      SimdKernels.probe()
+      !sys.props.get("graft.simd").contains("off") &&
+        !sys.env.get("GRAFT_NO_SIMD").contains("1")
+    } catch { case _: Throwable => false }
+
+  /** identity-keyed transpose cache: weight arrays are broadcast-shared per
+    * JVM, so the handful of live models yields a handful of entries; the
+    * transpose itself is a pure copy (no arithmetic).
+    */
+  private val tCache = new java.util.concurrent.ConcurrentHashMap[Array[Float], Array[Float]]()
+  def transposed(w: Array[Float], inDim: Int, outDim: Int): Array[Float] =
+    tCache.computeIfAbsent(w, _ => {
+      val t = new Array[Float](inDim * outDim)
+      var o = 0
+      while (o < outDim) {
+        var i = 0
+        while (i < inDim) { t(i * outDim + o) = w(o * inDim + i); i += 1 }
+        o += 1
+      }
+      t
+    })
+}
+
 object Nn {
 
   @inline def sigmoid(x: Float): Float = (1.0 / (1.0 + math.exp(-x.toDouble))).toFloat
@@ -33,6 +66,13 @@ object Nn {
     */
   def dense(w: Array[Float], b: Array[Float], inDim: Int, outDim: Int,
             x: Array[Float], xOff: Int, y: Array[Float], yOff: Int): Unit = {
+    // SIMD path (bit-exact, see Simd): only when the output is wide enough to
+    // fill vector lanes — the tiny head/remedy denses (outDim 6/10) stay on
+    // the register-blocked scalar loop below
+    if (Simd.enabled && outDim >= 16) {
+      SimdKernels.gemvT(Simd.transposed(w, inDim, outDim), b, inDim, outDim, x, xOff, y, yOff)
+      return
+    }
     var o = 0
     while (o + 4 <= outDim) {
       var a0 = b(o); var a1 = b(o + 1); var a2 = b(o + 2); var a3 = b(o + 3)
@@ -83,6 +123,19 @@ object Nn {
 final class LstmCell(val inDim: Int, val hidden: Int,
                      val wIh: Array[Float], val wHh: Array[Float],
                      val bIh: Array[Float], val bHh: Array[Float]) extends Serializable {
+  // SIMD support (bit-exact, see Simd): transposed weight copies + the
+  // precomputed bIh+bHh sum, built lazily once per JVM (thread-safe lazy val;
+  // the cell instance is broadcast-shared across tasks)
+  @transient private lazy val useSimd = Simd.enabled && 4 * hidden >= 16
+  @transient private lazy val wIhT = Simd.transposed(wIh, inDim, 4 * hidden)
+  @transient private lazy val wHhT = Simd.transposed(wHh, hidden, 4 * hidden)
+  @transient private lazy val bSum = {
+    val s = new Array[Float](4 * hidden)
+    var j = 0
+    while (j < 4 * hidden) { s(j) = bIh(j) + bHh(j); j += 1 }
+    s
+  }
+
   /** Runs the sequence x[t] (t = 0..len-1 over stride inDim starting xOff),
     * direction +1 or -1, writing h_t into out at (outOff + t*outStride + lane).
     * Scratch arrays (h, c, gates) must be sized hidden/hidden/4*hidden.
@@ -93,15 +146,19 @@ final class LstmCell(val inDim: Int, val hidden: Int,
     java.util.Arrays.fill(h, 0f)
     java.util.Arrays.fill(c, 0f)
     val H = hidden
+    val simd = useSimd
     var step = 0
     while (step < len) {
       val t = if (reverse) len - 1 - step else step
       val xo = xOff + t * inDim
-      // gates = bIh + bHh + wIh·x_t + wHh·h — register-blocked 4 gate rows at
-      // a time (4H is always a multiple of 4, so no remainder): each x/h load
-      // feeds 4 independent accumulators; per-row FP order unchanged
-      // (bit-exact vs the row-at-a-time loop, see Nn.dense). An 8-row block
-      // measured slower here (register pressure) — keep 4.
+      // gates = bIh + bHh + wIh·x_t + wHh·h — SIMD across gate lanes when
+      // available (per-gate FP order unchanged, see Simd), else
+      // register-blocked 4 gate rows at a time (4H is always a multiple of 4,
+      // so no remainder): each x/h load feeds 4 independent accumulators;
+      // per-row FP order unchanged (bit-exact vs the row-at-a-time loop, see
+      // Nn.dense). An 8-row block measured slower here (register pressure).
+      if (simd) SimdKernels.lstmGates(wIhT, wHhT, bSum, inDim, H, x, xo, h, gates)
+      else {
       var j = 0
       while (j < 4 * H) {
         var a0 = bIh(j) + bHh(j); var a1 = bIh(j + 1) + bHh(j + 1)
@@ -124,6 +181,7 @@ final class LstmCell(val inDim: Int, val hidden: Int,
         }
         gates(j) = a0; gates(j + 1) = a1; gates(j + 2) = a2; gates(j + 3) = a3
         j += 4
+      }
       }
       var k = 0
       while (k < H) {
@@ -163,7 +221,21 @@ final class BiLstm(val fwd: LstmCell, val bwd: LstmCell) extends Serializable {
 final class Conv2Tap(val inCh: Int, val outCh: Int,
                      val w0: Array[Float], val w1: Array[Float],
                      val b: Array[Float]) extends Serializable {
+  // SIMD support (bit-exact, see Simd): transposed tap copies, once per JVM
+  @transient private lazy val useSimd = Simd.enabled && outCh >= 16
+  @transient private lazy val w0T = Simd.transposed(w0, inCh, outCh)
+  @transient private lazy val w1T = Simd.transposed(w1, inCh, outCh)
+
   def run(x: Array[Float], xOff: Int, len: Int, y: Array[Float], yOff: Int): Unit = {
+    if (useSimd) {
+      var t = 0
+      while (t < len - 1) {
+        val x0 = xOff + t * inCh
+        SimdKernels.conv2(w0T, w1T, b, inCh, outCh, x, x0, x0 + inCh, y, yOff + t * outCh)
+        t += 1
+      }
+      return
+    }
     var t = 0
     while (t < len - 1) {
       val x0 = xOff + t * inCh

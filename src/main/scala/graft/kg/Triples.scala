@@ -80,9 +80,16 @@ object Triples {
     * model: mentions → link → canonicalize → triples.
     */
   def pipelineHandle(docs: org.apache.spark.sql.Dataset[PyramidDoc],
-                     model: Mentions.Model): PipelineHandle = {
-    val spark = docs.sparkSession
-    val bc = spark.sparkContext.broadcast(model)
+                     model: Mentions.Model): PipelineHandle =
+    pipelineHandleBc(docs, docs.sparkSession.sparkContext.broadcast(model))
+
+  /** Same pipeline over an already-broadcast model — lets repeated query
+    * invocations in one session (SparkEntry's kg_triples via the BcRegistry
+    * model broadcast) skip both the lexicon rebuild job and a per-call
+    * broadcast leak.
+    */
+  def pipelineHandleBc(docs: org.apache.spark.sql.Dataset[PyramidDoc],
+                       bc: org.apache.spark.broadcast.Broadcast[Mentions.Model]): PipelineHandle = {
     val mentions = Mentions.detect(docs, bc).toDF()
     // the dict subtree (scan + ngram HOFs + distinct agg) feeds BOTH the
     // broadcast link join and the CC edge derivation — persist or compute 2×
