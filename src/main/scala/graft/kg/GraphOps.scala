@@ -41,6 +41,26 @@ object GraphOps {
     triples.where(col("pred") === "co_occurs_with")
       .select(col("subj").as("src"), col("obj").as("dst"))
 
+  /** Partition count for the persisted / checkpointed loop-invariant tables
+    * of the iterative ops, derived from the INPUT SIZE ESTIMATE (guide §2:
+    * scale-adaptive partitioning, not a constant tuned for one deployment):
+    * planner stats give the byte estimate with zero extra jobs, targeting
+    * ~64 MB per partition, floored at 1 and capped at 4× the cluster
+    * parallelism. On the gate-scale graph (hundreds of edges) every
+    * iteration then runs 1-task jobs instead of 32 near-empty tasks per
+    * exchange — the explicit `repartition(col(...))`/localCheckpoint calls
+    * are the one place AQE's own coalescing cannot reach (AQE only resizes
+    * ENSURE_REQUIREMENTS exchanges, and checkpointed RDDs pin their
+    * partitioning for every later round).
+    */
+  private[kg] def adaptiveParts(df: DataFrame): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = 64L * 1024 * 1024
+    val cap = df.sparkSession.sparkContext.defaultParallelism.toLong * 4
+    val p = (bytes / target).min(BigInt(cap)).max(BigInt(1))
+    p.toInt
+  }
+
   /** Per-entity degree profile over the materialized graph: co-occurrence
     * out/in degree plus document frequency (`mentioned_in` fan-out). Three
     * partial-aggregated counts full-outer-joined on the entity key; every
@@ -72,16 +92,18 @@ object GraphOps {
     */
   def pagerank(triples: DataFrame): DataFrame = {
     val e = coEdges(triples)
+    val parts = adaptiveParts(e)
     // both loop-invariant tables are persisted ALREADY PARTITIONED on their
-    // join keys: every iteration's SMJ/HashJoin reads the cached exchange
-    // instead of re-shuffling the (large) edge table five times — the rank
-    // side is the only per-iteration shuffle, and it's one row per node
+    // join keys (partition count scale-adaptive, see adaptiveParts): every
+    // iteration's SMJ/HashJoin reads the cached exchange instead of
+    // re-shuffling the (large) edge table five times — the rank side is the
+    // only per-iteration shuffle, and it's one row per node
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .repartition(col("id")).persist()
+      .repartition(parts, col("id")).persist()
     val n = nodes.count().toDouble
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edges = e.join(deg, "src").repartition(col("src")).persist()
+    val edges = e.join(deg, "src").repartition(parts, col("src")).persist()
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to PrIters) {
       val contrib = edges.join(ranks, edges("src") === ranks("id"))
@@ -308,10 +330,11 @@ object GraphOps {
     */
   def hits(triples: DataFrame): DataFrame = {
     val e = coEdges(triples)
+    val parts = adaptiveParts(e)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
-      .repartition(col("id")).persist()
-    val bySrc = e.repartition(col("src")).persist()
+      .repartition(parts, col("id")).persist()
+    val bySrc = e.repartition(parts, col("src")).persist()
     var hub = nodes.select(col("id"), lit(1L).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to HitsIters) {
@@ -389,9 +412,24 @@ object GraphOps {
     * as WindowGroupLimit (partial top-1 BEFORE the exchange — the same
     * plan shape as text_tfidf's top-k).
     */
-  def labelProp(triples: DataFrame): DataFrame = {
-    val sym = symEdges(coEdges(triples))
-      .repartition(col("dst")).persist()
+  def labelProp(triples: DataFrame,
+                driverThreshold: Long = Canonical.DriverCcThreshold): DataFrame = {
+    val e0 = coEdges(triples)
+    val parts = adaptiveParts(e0)
+    val sym = symEdges(e0)
+      .repartition(parts, col("dst")).persist()
+    // driver fast path below the CC crossover (the Canonical pattern): the
+    // synchronous rounds are a pure function of the symmetric edge set, and
+    // under ~500k edges a local loop beats 3 rounds x (join+agg+window+
+    // checkpoint) of per-job scheduling latency. Same output contract as the
+    // distributed loop (GraphOpsSpec pins both paths against each other);
+    // KB-scale graphs take the distributed loop below.
+    if (sym.count() <= driverThreshold) {
+      val out = labelPropDriver(sym).persist()
+      out.count()
+      sym.unpersist()
+      return out
+    }
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     val w = org.apache.spark.sql.expressions.Window
@@ -408,7 +446,9 @@ object GraphOps {
         // nested join+agg+window rounds re-plan fine today, but compounding
         // round lineage is exactly what sent kcore's six rounds superlinear
         // in catalyst+AQE re-planning — truncation keeps plan depth O(1)
-        // in LpaIters
+        // in LpaIters; coalesce first so the pinned checkpoint partitioning
+        // is the adaptive count, not the shuffle-partition constant
+        .coalesce(parts)
         .localCheckpoint(true)
     }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
@@ -419,6 +459,30 @@ object GraphOps {
     out.count()
     sym.unpersist()
     out
+  }
+
+  /** the same [[LpaIters]] synchronous rounds (most-frequent neighbor label,
+    * ties to the MINIMUM label) as a driver loop over the collected symmetric
+    * edge list — exact semantics, small graphs only (callers size-guard).
+    */
+  private def labelPropDriver(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val edges = sym.select("src", "dst").as[(String, String)].collect()
+    val nbrs = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var labels: Map[String, String] = nbrs.keysIterator.map(u => u -> u).toMap
+    for (_ <- 1 to LpaIters) {
+      labels = nbrs.map { case (u, vs) =>
+        val freq = scala.collection.mutable.HashMap.empty[String, Long]
+        vs.foreach(v => freq(labels(v)) = freq.getOrElse(labels(v), 0L) + 1L)
+        // max count, tie -> minimum label (the window's c desc, label asc)
+        u -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val sizes = labels.values.groupBy(identity).map { case (l, c) => l -> c.size.toLong }
+    labels.toSeq.sortBy(_._1)
+      .map { case (u, l) => (u, l, sizes(l)) }
+      .toDF("entity_id", "community", "community_size")
   }
 
   /** Pointwise mutual information between co-mentioned entities, from the
@@ -485,15 +549,23 @@ object GraphOps {
     * note) and the loop is bounded by the fixed round budget, not
     * data-dependent convergence.
     */
-  def kcore(triples: DataFrame): DataFrame = {
+  def kcore(triples: DataFrame,
+            driverThreshold: Long = Canonical.DriverCcThreshold): DataFrame = {
     // localCheckpoint (the Canonical star-loop pattern) rather than cache:
     // each round's plan must be TRUNCATED, not just materialized — six
     // nested join/agg rounds of compounding lineage sent catalyst+AQE
     // re-planning time superlinear (a 7-minute wall on a 10k-edge graph,
     // vs ~1 s with truncation)
-    val sym = symEdges(coEdges(triples)).localCheckpoint(true)
+    val e0 = coEdges(triples)
+    val parts = adaptiveParts(e0)
+    val sym = symEdges(e0).coalesce(parts).localCheckpoint(true)
+    // driver fast path below the CC crossover (the Canonical pattern): the
+    // bounded-round peel is a pure function of the symmetric edge set; under
+    // ~500k edges a local loop beats 6 rounds of join+agg+checkpoint job
+    // latency. Identical output contract (GraphOpsSpec pins both paths).
+    if (sym.count() <= driverThreshold) return kcoreDriver(sym)
     val deg0 = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("sym_degree"))
-      .localCheckpoint(true)
+      .coalesce(parts).localCheckpoint(true)
     var active = deg0.select(col("id"))
     var peeled = active.where(lit(false)).withColumn("peel_round", lit(0))
     for (r <- 1 to KcoreIters) {
@@ -503,7 +575,8 @@ object GraphOps {
         .join(a2, col("dst") === col("did"))
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
       val annotated = active.join(deg, Seq("id"), "left_outer")
-        .withColumn("d", coalesce(col("d"), lit(0L))).localCheckpoint(true)
+        .withColumn("d", coalesce(col("d"), lit(0L)))
+        .coalesce(parts).localCheckpoint(true)
       peeled = peeled.unionAll(
         annotated.where(col("d") < KcoreK)
           .select(col("id"), lit(r).as("peel_round")))
@@ -513,5 +586,31 @@ object GraphOps {
       .select(col("id").as("entity_id"), col("sym_degree"),
         coalesce(col("peel_round"), lit(0)).as("peel_round"),
         isnull(col("peel_round")).cast("int").as("in_kcore"))
+  }
+
+  /** the same [[KcoreIters]] synchronous peel rounds (remove active nodes
+    * whose active-degree < [[KcoreK]]) as a driver loop over the collected
+    * symmetric edge list — exact semantics, small graphs only.
+    */
+  private def kcoreDriver(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val edges = sym.select("src", "dst").as[(String, String)].collect()
+    val nbrs = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val deg0 = nbrs.map { case (u, vs) => u -> vs.length.toLong }
+    var active = nbrs.keySet
+    val peelRound = scala.collection.mutable.HashMap.empty[String, Int]
+    for (r <- 1 to KcoreIters) {
+      val d = active.iterator
+        .map(u => u -> nbrs(u).count(active.contains).toLong).toMap
+      val peeled = active.filter(u => d(u) < KcoreK)
+      peeled.foreach(u => peelRound(u) = r)
+      active = active -- peeled
+    }
+    deg0.toSeq.sortBy(_._1)
+      .map { case (u, dg) =>
+        (u, dg, peelRound.getOrElse(u, 0), if (peelRound.contains(u)) 0 else 1)
+      }
+      .toDF("entity_id", "sym_degree", "peel_round", "in_kcore")
   }
 }

@@ -48,11 +48,12 @@ object KgStream {
     import spark.implicits._
     val name = s"${queryName}_${runSeq.incrementAndGet()}"
 
-    // static side (batch over the same slice as Eval.sliceLinked)
-    val sliceDocs = DocGen.docs(spark, sfDir)
-      .orderBy("doc_id").limit(Eval.EvalSliceDocs).cache()
-    val model = Mentions.buildModel(sliceDocs, ModelConfig())
-    val bc = spark.sparkContext.broadcast(model)
+    // static side (batch over the same slice as Eval.sliceLinked): the slice
+    // Dataset and model broadcast are the SAME session-cached slots the batch
+    // slice queries use (Eval.sliceDocs / Eval.modelBc) — one lexicon job per
+    // session instead of one per stream invocation, same model either way
+    val sliceDocs = Eval.sliceDocs(spark, sfDir)
+    val bc = Eval.modelBc(spark, sfDir, ModelConfig())
     // cache: a stream-static join re-evaluates the static side per
     // micro-batch; the dict subtree (ngram HOFs + distinct agg) is the
     // expensive part
@@ -94,11 +95,8 @@ object KgStream {
     q.processAllAvailable()
     q.stop()
     dict.unpersist()
-    sliceDocs.unpersist()
-    // the memory sink holds materialized rows — the model broadcast is done;
-    // destroy (not just unpersist) releases driver AND executor blocks, so
-    // repeated stream runs in one session don't accumulate them
-    bc.destroy()
+    // sliceDocs / bc are the session-shared Eval slots — NOT destroyed here
+    // (BcRegistry bounds them to one live instance per corpus signature)
     spark.table(name)
   }
 

@@ -105,6 +105,16 @@ object Multimodal {
     */
   object ImageCodec {
 
+    // ImageIO's default ImageInputStream is FILE-cache backed: every
+    // ImageIO.read(InputStream) writes the payload to a temp file first —
+    // one disk file create/write/delete PER IMAGE, and under 32 concurrent
+    // decode tasks the temp-dir churn both slows the steady state and causes
+    // multi-second stalls (measured: mm_decode_png 4.8-8 s erratic vs ~1 s
+    // with the memory cache). Decoded pixels are identical either way — this
+    // only switches the byte-source plumbing to MemoryCacheImageInputStream.
+    javax.imageio.ImageIO.setUseCache(false)
+    private[ops] def ensureInit(): Unit = ()
+
     /** cheap deterministic pixel mix (splitmix-style) — only the stage-time
       * GENERATORS use it; the decode side never recomputes pixels
       */
@@ -209,6 +219,8 @@ object Multimodal {
     */
   object FrameCodec {
 
+    ImageCodec.ensureInit() // memory-cache ImageInputStreams (see ImageCodec)
+
     def frameCount(ref: String): Int = {
       val seed = graft.core.Rng.streamKey(s"tif#$ref")
       2 + ((seed >>> 16) & 0x7).toInt
@@ -271,6 +283,7 @@ object Multimodal {
     * metadata and the 8-dim feature come from actual pixel decoding.
     */
   object ImageIoDecoder extends MediaDecoder {
+    ImageCodec.ensureInit() // memory-cache ImageInputStreams (see ImageCodec)
     def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null, "ImageIO could not decode payload")

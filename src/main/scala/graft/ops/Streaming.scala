@@ -71,7 +71,9 @@ object Streaming {
                      name: String = "sessions_out"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val batchEvents = spark.read.parquet(s"$sfDir/events.parquet")
+    val schema = batchEvents.schema
+    withAdaptiveStateParts(spark, batchEvents) {
     val dir = java.nio.file.Files.createTempDirectory("graft_sess_src")
     val link = dir.resolve("events.parquet")
     java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
@@ -94,6 +96,7 @@ object Streaming {
     q.processAllAvailable()
     q.stop()
     spark.table(name)
+    }
   }
 
   /** The per-group state handler, in its own serializable object — an
@@ -171,6 +174,27 @@ object Streaming {
   private val streamSrcLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily derived from
+    * the batch-side input's planner size estimate (~64 MB per partition,
+    * floor 1, cap 4x parallelism — the GraphOps.adaptiveParts rule). A
+    * stateful streaming query pins its STATE partition count to this conf at
+    * query start; the session default (tuned for the wide batch queries)
+    * would give every micro-batch `cpus` state-store tasks and checkpoint
+    * files regardless of key cardinality — pure per-batch overhead on small
+    * streams, and still size-scaled on big ones. The previous value is
+    * restored before returning, so later batch queries are unaffected.
+    */
+  private[graft] def withAdaptiveStateParts[T](spark: SparkSession,
+                                               sized: DataFrame)(body: => T): T = {
+    val bytes = sized.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cap = spark.sparkContext.defaultParallelism.toLong * 4
+    val parts = (bytes / (64L * 1024 * 1024)).min(BigInt(cap)).max(BigInt(1)).toInt
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, parts.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Stage the corpus as a 4-file copy ONCE per corpus signature (the
     * `ensureIvfIndex` marker pattern: signature-gated rebuild, serialized
     * per dir), so repeated invocations — benchmark reps, the oracle gate —
@@ -202,7 +226,9 @@ object Streaming {
     // one batch job (which rows land in which arrival wave is irrelevant —
     // the aggregation is arrival-order-independent by construction)
     val dir = ensureStreamSrc(spark, sfDir)
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val schema = batchDocs.schema
+    withAdaptiveStateParts(spark, batchDocs) {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
@@ -228,5 +254,6 @@ object Streaming {
     q.processAllAvailable()
     q.stop()
     spark.table(name)
+    }
   }
 }

@@ -244,6 +244,22 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(Seq("a", "b", "c", "d").forall(got(_)._3 == 1))
   }
 
+  test("labelProp/kcore: driver fast path == distributed loop row-for-row") {
+    import spark.implicits._
+    // ring + chords + pendant so peel rounds and label frequencies are
+    // non-trivial; big enough that ties and multi-round peels occur
+    val rnd = new scala.util.Random(11)
+    val es = (0 until 40).map(i => (s"n$i", s"n${(i + 1) % 40}")) ++
+      (0 until 25).map(_ => (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}")) ++
+      Seq(("n0", "p1"), ("p1", "p2"))
+    val tri = es.filter { case (a, b) => a != b }
+      .map { case (s, o) => (s, "co_occurs_with", o) }.toDF("subj", "pred", "obj")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(GraphOps.labelProp(tri)) == rows(GraphOps.labelProp(tri, driverThreshold = -1L)))
+    assert(rows(GraphOps.kcore(tri)) == rows(GraphOps.kcore(tri, driverThreshold = -1L)))
+  }
+
   test("coocPmi: ln(n_ab·N / (n_a·n_b)) at 4 dp, min-joint filter") {
     import spark.implicits._
     val mi = Seq(
