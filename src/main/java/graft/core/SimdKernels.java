@@ -82,6 +82,50 @@ public final class SimdKernels {
     }
 
     /**
+     * Accumulating variant of {@link #gemvT}: y[yOff+o] += sum_i x[xOff+i] *
+     * wT[i*outDim + o] — the initial accumulator is loaded FROM y, so a
+     * caller can chain phases (bias-init via gemvT, then accumulate another
+     * matvec) while preserving each output's scalar accumulation order.
+     */
+    public static void gemvAccT(float[] wT, int inDim, int outDim,
+                                float[] x, int xOff, float[] y, int yOff) {
+        final VectorSpecies<Float> S = FloatVector.SPECIES_PREFERRED;
+        final int L = S.length();
+        int o = 0;
+        for (; o + 4 * L <= outDim; o += 4 * L) {
+            FloatVector a0 = FloatVector.fromArray(S, y, yOff + o);
+            FloatVector a1 = FloatVector.fromArray(S, y, yOff + o + L);
+            FloatVector a2 = FloatVector.fromArray(S, y, yOff + o + 2 * L);
+            FloatVector a3 = FloatVector.fromArray(S, y, yOff + o + 3 * L);
+            for (int i = 0; i < inDim; i++) {
+                FloatVector xv = FloatVector.broadcast(S, x[xOff + i]);
+                int w = i * outDim + o;
+                a0 = FloatVector.fromArray(S, wT, w).mul(xv).add(a0);
+                a1 = FloatVector.fromArray(S, wT, w + L).mul(xv).add(a1);
+                a2 = FloatVector.fromArray(S, wT, w + 2 * L).mul(xv).add(a2);
+                a3 = FloatVector.fromArray(S, wT, w + 3 * L).mul(xv).add(a3);
+            }
+            a0.intoArray(y, yOff + o);
+            a1.intoArray(y, yOff + o + L);
+            a2.intoArray(y, yOff + o + 2 * L);
+            a3.intoArray(y, yOff + o + 3 * L);
+        }
+        for (; o + L <= outDim; o += L) {
+            FloatVector a0 = FloatVector.fromArray(S, y, yOff + o);
+            for (int i = 0; i < inDim; i++) {
+                FloatVector xv = FloatVector.broadcast(S, x[xOff + i]);
+                a0 = FloatVector.fromArray(S, wT, i * outDim + o).mul(xv).add(a0);
+            }
+            a0.intoArray(y, yOff + o);
+        }
+        for (; o < outDim; o++) {
+            float acc = y[yOff + o];
+            for (int i = 0; i < inDim; i++) acc += wT[i * outDim + o] * x[xOff + i];
+            y[yOff + o] = acc;
+        }
+    }
+
+    /**
      * One LSTM step's gate pre-activations:
      * gates[j] = bSum[j] + sum_i wIhT[i][j]*x[xo+i] + sum_k wHhT[k][j]*h[k],
      * j in [0, 4H). bSum[j] must be the precomputed bIh[j]+bHh[j] (the scalar

@@ -1,10 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** TEMPORARY triage main for the mm_decode_png anomaly — not part of the
-  * bench/oracle surface; removed after the round's profiling.
+/** TEMPORARY triage main (round-6 profiling) — times the dedup family's
+  * internal stages with the noop sink; removed after the round.
   */
 object DebugMm {
   def main(args: Array[String]): Unit = {
@@ -18,45 +17,24 @@ object DebugMm {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val stage = graft.kg.KgStage.stage(spark, sfDir)
     def t(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime(); body
       println(f"DEBUG $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      spark.catalog.clearCache()
     }
-    val png = s"$stage/media_png.parquet"
-    t("read+count")(spark.read.parquet(png).count())
-    t("decode noop 1")(ops.Multimodal.decodePng(spark, png)
-      .write.format("noop").mode("overwrite").save())
-    t("decode noop 2")(ops.Multimodal.decodePng(spark, png)
-      .write.format("noop").mode("overwrite").save())
-    t("decode noop 3")(ops.Multimodal.decodePng(spark, png)
-      .write.format("noop").mode("overwrite").save())
-    // decode WITHOUT widen
-    import spark.implicits._
-    t("decode nowiden")(spark.read.parquet(png)
-      .select(col("media_ref"), col("png")).as[ops.Multimodal.PngRow]
-      .mapPartitions(_.map { r =>
-        val d = ops.Multimodal.ImageCodec.decodePng(r.png)
-        ops.Multimodal.PngDecoded(r.media_ref, d.width, d.height, d.pixel_md5)
-      }).toDF().write.format("noop").mode("overwrite").save())
-    // decode on driver directly
-    t("decode driver-loop") {
-      val rows = spark.read.parquet(png).select("media_ref", "png").collect()
-      var n = 0
-      rows.foreach { r =>
-        val d = ops.Multimodal.ImageCodec.decodePng(r.getAs[Array[Byte]]("png"))
-        n += d.width
-      }
-      println(s"  [driver] ${rows.length} decoded, checksum $n")
-    }
-    t("decode driver-loop 2") {
-      val rows = spark.read.parquet(png).select("media_ref", "png").collect()
-      var n = 0
-      rows.foreach { r =>
-        val d = ops.Multimodal.ImageCodec.decodePng(r.getAs[Array[Byte]]("png"))
-        n += d.width
-      }
-      println(s"  [driver] ${rows.length} decoded, checksum $n")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    for (round <- 1 to 2) {
+      println(s"--- round $round")
+      t("docs scan")(noop(ops.Dedup.docsDf(spark, sfDir)))
+      t("shingles")(noop(ops.Dedup.shingles(spark, sfDir)))
+      t("minhash_sig")(noop(ops.Dedup.minhashSignatures(spark, sfDir)))
+      t("minhash_lsh")(noop(ops.Dedup.minhashLsh(spark, sfDir)))
+      t("clusters")(noop(ops.Dedup.clusters(spark, sfDir)))
+      t("jaccard")(noop(ops.Dedup.ngramJaccard(spark, sfDir)))
+      t("simhash")(noop(ops.Dedup.simhash(spark, sfDir)))
+      t("decontam")(noop(ops.TextOps.decontam(spark, sfDir)))
+      t("dict")(noop(kg.AliasDict.build(kg.DocGen.docs(spark, sfDir))))
     }
     spark.stop()
   }

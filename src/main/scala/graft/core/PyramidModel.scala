@@ -144,23 +144,41 @@ final class PyramidInference(w: PyramidWeights, vocab: WordVocab) {
     charOut = new Array[Float](charCap * 2 * charH)
   }
 
+  /** Per-engine memo of the char-BiLSTM vector per DISTINCT token: the
+    * char vector is a pure function of the token string (given the fixed
+    * weights), and corpora are Zipf-distributed, so the recurrence + its
+    * ~10·charH transcendental gate activations run once per distinct token
+    * per task instead of once per token INSTANCE. Values are the memoized
+    * output of the exact same computation — bit-identical by construction.
+    * Size-capped so an adversarial stream of unique tokens cannot grow the
+    * map unboundedly (beyond the cap, tokens compute without caching).
+    */
+  private val charVecCache = new java.util.HashMap[String, Array[Float]]()
+  private val CharVecCacheCap = 65536
+
   /** char-BiLSTM word vector ++ word embedding for one token, written at
     * `dst(off)` (charDim + wordDim floats) — reference concat order:
     * torch.cat((char, word), -1), sentence_encoder.py:63-66; char vector =
     * fwd last state ++ bwd output at t=0 (char_embedding.py:55-70).
     */
   private def fillCharWord(tok: String, dst: Array[Float], off: Int): Unit = {
-    val L = math.max(tok.length, 1)
-    ensureChar(L)
-    var i = 0
-    while (i < L) {
-      val cid = if (i < tok.length) CharVocab.id(tok.charAt(i)) else CharVocab.padId
-      System.arraycopy(w.charEmb, cid * charH, charBuf, i * charH, charH)
-      i += 1
+    var cv = charVecCache.get(tok)
+    if (cv == null) {
+      val L = math.max(tok.length, 1)
+      ensureChar(L)
+      var i = 0
+      while (i < L) {
+        val cid = if (i < tok.length) CharVocab.id(tok.charAt(i)) else CharVocab.padId
+        System.arraycopy(w.charEmb, cid * charH, charBuf, i * charH, charH)
+        i += 1
+      }
+      w.charLstm.run(charBuf, 0, L, charOut, 0, hS, cS, gS)
+      cv = new Array[Float](cfg.charDim)
+      System.arraycopy(charOut, (L - 1) * 2 * charH, cv, 0, charH)
+      System.arraycopy(charOut, charH, cv, charH, charH)
+      if (charVecCache.size < CharVecCacheCap) charVecCache.put(tok, cv)
     }
-    w.charLstm.run(charBuf, 0, L, charOut, 0, hS, cS, gS)
-    System.arraycopy(charOut, (L - 1) * 2 * charH, dst, off, charH)
-    System.arraycopy(charOut, charH, dst, off + charH, charH)
+    System.arraycopy(cv, 0, dst, off, cfg.charDim)
     System.arraycopy(w.wordEmb, vocab.id(tok) * cfg.wordDim, dst, off + cfg.charDim, cfg.wordDim)
   }
 

@@ -127,28 +127,47 @@ final class PyramidVariantInference(base: PyramidInference, vw: VariantWeights) 
       }
       out(idx) = cat
       if (idx > 0) {
-        // inverse_cnn: kernel 2, padding 1 → output length T + 1
+        // inverse_cnn: kernel 2, padding 1 → output length T + 1. SIMD path
+        // (bit-exact, see graft.core.Simd): per output channel the order is
+        // bias, then the w0 matvec (i ascending), then the w1 matvec —
+        // gemvT(bias-init) + gemvAccT reproduce exactly that; boundary
+        // positions get only the tap that exists, like the scalar loop.
         val nx = new Array[Float]((T + 1) * D)
-        var o = 0
-        while (o <= T) {
-          var j = 0
-          while (j < D) {
-            var acc = vw.invConvB(j)
-            val w0 = j * 2 * D
-            if (o > 0) {
-              val xo = (o - 1) * 2 * D
-              var i = 0
-              while (i < 2 * D) { acc += vw.invConvW0(w0 + i) * cat(xo + i); i += 1 }
-            }
-            if (o < T) {
-              val xo = o * 2 * D
-              var i = 0
-              while (i < 2 * D) { acc += vw.invConvW1(w0 + i) * cat(xo + i); i += 1 }
-            }
-            nx(o * D + j) = acc
-            j += 1
+        if (Simd.enabled && D >= 16) {
+          val w0T = Simd.transposed(vw.invConvW0, 2 * D, D)
+          val w1T = Simd.transposed(vw.invConvW1, 2 * D, D)
+          // o = 0: only the w1 tap (no x above position -1)
+          SimdKernels.gemvT(w1T, vw.invConvB, 2 * D, D, cat, 0, nx, 0)
+          var o = 1
+          while (o < T) {
+            SimdKernels.gemvT(w0T, vw.invConvB, 2 * D, D, cat, (o - 1) * 2 * D, nx, o * D)
+            SimdKernels.gemvAccT(w1T, 2 * D, D, cat, o * 2 * D, nx, o * D)
+            o += 1
           }
-          o += 1
+          // o = T: only the w0 tap
+          SimdKernels.gemvT(w0T, vw.invConvB, 2 * D, D, cat, (T - 1) * 2 * D, nx, T * D)
+        } else {
+          var o = 0
+          while (o <= T) {
+            var j = 0
+            while (j < D) {
+              var acc = vw.invConvB(j)
+              val w0 = j * 2 * D
+              if (o > 0) {
+                val xo = (o - 1) * 2 * D
+                var i = 0
+                while (i < 2 * D) { acc += vw.invConvW0(w0 + i) * cat(xo + i); i += 1 }
+              }
+              if (o < T) {
+                val xo = o * 2 * D
+                var i = 0
+                while (i < 2 * D) { acc += vw.invConvW1(w0 + i) * cat(xo + i); i += 1 }
+              }
+              nx(o * D + j) = acc
+              j += 1
+            }
+            o += 1
+          }
         }
         x = nx
       }

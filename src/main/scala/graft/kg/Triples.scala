@@ -88,8 +88,13 @@ object Triples {
     * model broadcast) skip both the lexicon rebuild job and a per-call
     * broadcast leak.
     */
-  def pipelineHandleBc(docs: org.apache.spark.sql.Dataset[PyramidDoc],
+  def pipelineHandleBc(docs0: org.apache.spark.sql.Dataset[PyramidDoc],
                        bc: org.apache.spark.broadcast.Broadcast[Mentions.Model]): PipelineHandle = {
+    // docs feed BOTH the mention-detection subtree and the dict build — one
+    // persisted assembly pass instead of re-tokenizing the corpus per
+    // consumer (a no-op when the caller, e.g. the bench headline, already
+    // cached them); released with the other intermediates via unpersistAll
+    val docs = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mentions = Mentions.detect(docs, bc).toDF()
     // the dict subtree (scan + ngram HOFs + distinct agg) feeds BOTH the
     // broadcast link join and the CC edge derivation — persist or compute 2×
@@ -108,7 +113,7 @@ object Triples {
     // does exactly that per bucket).
     val canon = Canonical.canonicalizeAuto(linked, canonMap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    PipelineHandle(fromCanonical(canon), Seq(dict, canonMap, canon))
+    PipelineHandle(fromCanonical(canon), Seq(dict, canonMap, canon, docs.toDF()))
   }
 
   def pipelineFrom(docs: org.apache.spark.sql.Dataset[PyramidDoc],

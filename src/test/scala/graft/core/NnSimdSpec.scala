@@ -75,6 +75,39 @@ class NnSimdSpec extends AnyFunSuite {
     }
   }
 
+  test("gemvT + gemvAccT chain is bit-exact vs the scalar inverse-conv loop") {
+    // replicates PyramidVariants.inversePass's padded kernel-2 conv: per
+    // output o, channels j get bias, then the w0 matvec, then the w1 matvec,
+    // with only one tap at the boundaries
+    for (dd <- Seq(16, 24, 100)) {
+      val t = 4
+      val cat = rnd(31 + dd, t * 2 * dd)
+      val w0 = rnd(32 + dd, dd * 2 * dd)
+      val w1 = rnd(33 + dd, dd * 2 * dd)
+      val b = rnd(34 + dd, dd)
+      val naive = new Array[Float]((t + 1) * dd)
+      for (o <- 0 to t; j <- 0 until dd) {
+        var acc = b(j)
+        val w = j * 2 * dd
+        if (o > 0) { val xo = (o - 1) * 2 * dd
+          for (i <- 0 until 2 * dd) acc += w0(w + i) * cat(xo + i) }
+        if (o < t) { val xo = o * 2 * dd
+          for (i <- 0 until 2 * dd) acc += w1(w + i) * cat(xo + i) }
+        naive(o * dd + j) = acc
+      }
+      val got = new Array[Float]((t + 1) * dd)
+      val w0T = Simd.transposed(w0, 2 * dd, dd)
+      val w1T = Simd.transposed(w1, 2 * dd, dd)
+      SimdKernels.gemvT(w1T, b, 2 * dd, dd, cat, 0, got, 0)
+      for (o <- 1 until t) {
+        SimdKernels.gemvT(w0T, b, 2 * dd, dd, cat, (o - 1) * 2 * dd, got, o * dd)
+        SimdKernels.gemvAccT(w1T, 2 * dd, dd, cat, o * 2 * dd, got, o * dd)
+      }
+      SimdKernels.gemvT(w0T, b, 2 * dd, dd, cat, (t - 1) * 2 * dd, got, t * dd)
+      for (k <- got.indices) assert(got(k) == naive(k), s"dd=$dd k=$k")
+    }
+  }
+
   test("Conv2Tap SIMD path is bit-exact vs naive (w0-then-w1 add order)") {
     for (outCh <- Seq(16, 17, 33, 64, 65, 100, 200); inCh <- Seq(2, 50, 100)) {
       val conv = new Conv2Tap(inCh, outCh,
