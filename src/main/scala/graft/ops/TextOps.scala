@@ -324,7 +324,12 @@ object TextOps {
     *
     * Scale shape — the part that matters at 100 TB: the benchmark gram set
     * is tiny relative to the corpus (eval suites are MBs, corpora are TBs),
-    * so it is distinct'd and BROADCAST; the training side explodes its
+    * so it is distinct'd and BROADCAST; note the SYNTHETIC split here
+    * (doc_id % DecontamEvery) grows with the corpus — a real deployment
+    * substitutes a fixed external benchmark set, which is what the
+    * broadcast sizing argument is about (the construction below is only the
+    * sandbox's deterministic stand-in for that fixed set);
+    * the training side explodes its
     * per-doc distinct grams and probes the broadcast hash relation —
     * map-side, the corpus payload never shuffles — then re-aggregates to
     * one row per doc (two-phase, so the exchange carries one slim row per
