@@ -21,12 +21,31 @@ object Readers {
 
   // ------------------------------------------------------------------- S1
 
+  /** Session cache of INFERRED json schemas, keyed on (path, file
+    * signature): `spark.read.json` with no schema runs a full inference scan
+    * of the file before the real read — every invocation re-paid a complete
+    * extra parse of the input (and the src_* battery rows fluctuated with
+    * it). The schema is still derived from the data (identical StructType,
+    * inferred once per file content); only the re-derivation is skipped.
+    * Bounded: one tiny StructType per distinct staged file.
+    */
+  private val jsonSchemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  private def jsonCached(spark: SparkSession, path: String,
+                         multiLine: Boolean = false): DataFrame = {
+    val key = s"$path@${graft.core.FileSig.of(path)}@$multiLine"
+    val reader0 = spark.read.option("multiLine", multiLine.toString)
+    val schema = jsonSchemaCache.getOrElseUpdate(key, reader0.json(path).schema)
+    reader0.schema(schema).json(path)
+  }
+
   /** RASA-json reader (`utils/data.py:13-24`): one multiline JSON document →
     * one row per common_example with its entity structs. `multiLine` json +
     * explode; no driver-side parsing.
     */
   def rasa(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("multiLine", "true").json(path)
+    jsonCached(spark, path, multiLine = true)
       .select(explode(col("rasa_nlu_data.common_examples")).as("ex"))
       .select(
         col("ex.text").as("text"),
@@ -47,7 +66,7 @@ object Readers {
     */
   def jsonl(spark: SparkSession, path: String, limit: Int = -1,
             dropEntities: Seq[String] = Nil): DataFrame = {
-    val base = spark.read.json(path)
+    val base = jsonCached(spark, path)
       .withColumn("text", regexp_replace(col("text"), ReaderStage.NonPrintable, "¤"))
       .select(col("doc_id"), col("text"),
         expr("transform(entities, e -> struct(e.category as kind, " +
@@ -75,7 +94,7 @@ object Readers {
     * product), not a theta-join over the corpus.
     */
   def wikipedia(spark: SparkSession, path: String): DataFrame = {
-    val art = spark.read.json(path)
+    val art = jsonCached(spark, path)
       .where(col("id").isNotNull) // reference skips non-article lines (data.py:51)
     val w = Window.partitionBy("id").orderBy(col("s.start"))
     val sent = art.select(col("id"), col("text"), size(col("entities")).as("n_entities"),
